@@ -1,0 +1,194 @@
+"""Qwen3 forward pass, TPU-native.
+
+Architecture semantics follow the reference engine (src/forward.c:225-350):
+per layer: att-RMSNorm -> Q/K/V quantized matmuls -> per-head QK-RMSNorm then
+RoPE (theta 1e6, half-split) -> GQA attention over the KV cache -> output
+projection + residual -> FFN-RMSNorm -> w1/w3 -> SwiGLU -> w2 + residual;
+finally out-RMSNorm and the (possibly tied) classifier matmul.
+
+Design differences from the reference (TPU-first, not a port):
+- one traced program handles a [B, T] token block — the same function serves
+  batched prefill (T>1) and decode (T=1), where the reference runs a scalar
+  token-at-a-time loop for both (src/completion.c:57-80);
+- layers run under `lax.scan` over weights stacked [L, ...], so compile time
+  and program size are O(1) in depth;
+- RoPE cos/sin are precomputed tables gathered by position;
+- logits are computed for the last position only unless `all_logits` is set
+  (the reference computes the full vocab matmul for every prompt token).
+
+Quantization modes:
+- "exact": reproduces the reference integer math (activation Q8 quantization
+  + int8xint8 group dots, fp32 accumulation; see ops/quant_matmul.py).
+- "bf16": weight-only quantization — weights dequantized once to bf16,
+  activations unquantized (slightly better quality than the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qwen3_tpu.config import ModelConfig
+from qwen3_tpu.io.checkpoint import Q8Weights
+from qwen3_tpu.ops.attention import gqa_attention
+from qwen3_tpu.ops.activations import swiglu
+from qwen3_tpu.ops.norms import rmsnorm
+from qwen3_tpu.ops.q8 import dequantize, quantize_act
+from qwen3_tpu.ops.quant_matmul import (
+    dequant_weights_bf16,
+    q8_matmul_bf16,
+    q8_matmul_exact,
+)
+from qwen3_tpu.ops.rope import rope_tables
+
+Params = dict[str, Any]
+
+_LAYER_MATS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def init_params(w: Q8Weights, mode: str = "bf16",
+                max_seq_len: int | None = None) -> Params:
+    """Build the device parameter pytree from host Q8 weights.
+
+    Embeddings and (in exact mode) all projections stay int8 in HBM.
+    """
+    cfg = w.config
+    if max_seq_len is None:
+        max_seq_len = cfg.seq_len
+    cos, sin = rope_tables(cfg.head_dim, max_seq_len)
+    p: Params = {
+        "att_norm": jnp.asarray(w.att_norm),
+        "ffn_norm": jnp.asarray(w.ffn_norm),
+        "out_norm": jnp.asarray(w.out_norm),
+        "q_norm": jnp.asarray(w.q_norm),
+        "k_norm": jnp.asarray(w.k_norm),
+        "emb_q": jnp.asarray(w.emb_q),
+        "emb_s": jnp.asarray(w.emb_s),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    if mode == "exact":
+        for name in _LAYER_MATS:
+            p[name + "_q"] = jnp.asarray(getattr(w, name + "_q"))
+            p[name + "_s"] = jnp.asarray(getattr(w, name + "_s"))
+        p["cls_q"] = jnp.asarray(w.cls_q)
+        p["cls_s"] = jnp.asarray(w.cls_s)
+    elif mode == "bf16":
+        g = cfg.group_size
+        for name in _LAYER_MATS:
+            p[name + "_t"] = jnp.asarray(dequant_weights_bf16(
+                jnp.asarray(getattr(w, name + "_q")),
+                jnp.asarray(getattr(w, name + "_s")), g))
+        p["cls_t"] = jnp.asarray(dequant_weights_bf16(
+            jnp.asarray(w.cls_q), jnp.asarray(w.cls_s), g))
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return p
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,
+                  dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (cfg.n_layers, batch, seq_len, cfg.n_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _embed(p: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Dequantized embedding rows (values equal the reference's fp32 table
+    w->fe, src/model.c:199-206)."""
+    q = jnp.take(p["emb_q"], tokens, axis=0)
+    s = jnp.take(p["emb_s"], tokens, axis=0)
+    return dequantize(q, s, cfg.group_size)
+
+
+def _make_linear(mode: str, group_size: int):
+    if mode == "exact":
+        def linear(x, layer_w):
+            w_q, w_s = layer_w
+            xq, xs = quantize_act(x, group_size)
+            return q8_matmul_exact(xq, xs, w_q, w_s, group_size)
+    else:
+        def linear(x, layer_w):
+            (w_t,) = layer_w
+            return q8_matmul_bf16(x, w_t)
+    return linear
+
+
+def _layer_weights(p: Params, mode: str, name: str):
+    if mode == "exact":
+        return (p[name + "_q"], p[name + "_s"])
+    return (p[name + "_t"],)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "all_logits")
+)
+def forward(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+            k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+            start_pos: jnp.ndarray, *, mode: str = "bf16",
+            all_logits: bool = False):
+    """Run a [B, T] block of tokens starting at absolute position `start_pos`.
+
+    Returns (logits [B, T, V] or [B, 1, V], new_k_cache, new_v_cache).
+    """
+    B, T = tokens.shape
+    H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    linear = _make_linear(mode, cfg.group_size)
+
+    x = _embed(p, cfg, tokens)  # [B, T, dim] fp32
+
+    positions = start_pos + jnp.arange(T, dtype=jnp.int32)       # [T]
+    cos = jnp.take(p["rope_cos"], positions, axis=0)[:, None, :]  # [T,1,half]
+    sin = jnp.take(p["rope_sin"], positions, axis=0)[:, None, :]
+
+    def rope(v):
+        half = v.shape[-1] // 2
+        a, b = v[..., :half], v[..., half:]
+        return jnp.concatenate([a * cos - b * sin, a * sin + b * cos], axis=-1)
+
+    layer_xs = {
+        "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
+        "q_norm": p["q_norm"], "k_norm": p["k_norm"],
+        "k_cache": k_cache, "v_cache": v_cache,
+    }
+    for name in _LAYER_MATS:
+        for part in (("_q", "_s") if mode == "exact" else ("_t",)):
+            layer_xs[name + part] = p[name + part]
+
+    def body(x, xs):
+        lw = lambda name: tuple(
+            xs[name + part]
+            for part in (("_q", "_s") if mode == "exact" else ("_t",))
+        )
+        h = rmsnorm(x, xs["att_norm"])
+        q = linear(h, lw("wq")).reshape(B, T, H, D)
+        k = linear(h, lw("wk")).reshape(B, T, KV, D)
+        v = linear(h, lw("wv")).reshape(B, T, KV, D)
+
+        q = rope(rmsnorm(q, xs["q_norm"]))
+        k = rope(rmsnorm(k, xs["k_norm"]))
+
+        kc = lax.dynamic_update_slice(
+            xs["k_cache"], k.astype(xs["k_cache"].dtype), (0, start_pos, 0, 0))
+        vc = lax.dynamic_update_slice(
+            xs["v_cache"], v.astype(xs["v_cache"].dtype), (0, start_pos, 0, 0))
+
+        att = gqa_attention(q, kc, vc, positions)  # [B, T, H, D] fp32
+        x = x + linear(att.reshape(B, T, H * D), lw("wo"))
+
+        h = rmsnorm(x, xs["ffn_norm"])
+        gate = linear(h, lw("w1"))
+        up = linear(h, lw("w3"))
+        x = x + linear(swiglu(gate, up), lw("w2"))
+        return x, (kc, vc)
+
+    x, (new_k, new_v) = lax.scan(body, x, layer_xs)
+
+    x = rmsnorm(x, p["out_norm"])
+    if not all_logits:
+        x = x[:, -1:, :]
+    logits = linear(x, _layer_weights(p, mode, "cls"))
+    return logits, new_k, new_v

@@ -1,0 +1,63 @@
+"""GQA attention (reference-semantics path, fp32 softmax).
+
+The reference computes, per head, scores q.k/sqrt(head_dim) over positions
+0..pos from an fp32 KV cache, softmax, then a weighted value sum
+(src/forward.c:141-195). Here the same math is expressed batched over heads
+and positions as masked dense attention — later replaced by Pallas flash
+kernels on the hot path.
+
+Layouts:
+  q        [B, T, n_heads, head_dim]
+  kv cache [B, S, n_kv_heads, head_dim]
+GQA maps query head h to kv head h // (n_heads // n_kv_heads)
+(src/forward.c:146,158).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the last axis restricted to `mask` (bool)."""
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(mask, scores, neg)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m) * mask.astype(jnp.float32)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                  q_positions: jnp.ndarray) -> jnp.ndarray:
+    """Dense masked GQA attention against the full cache.
+
+    q:           [B, T, H, D] (any float dtype; math in fp32)
+    k/v_cache:   [B, S, KV, D]
+    q_positions: [T] int32 — absolute position of each query row; a cache slot
+                 s attends iff s <= q_positions[t] (causal over the cache).
+
+    Returns [B, T, H, D] fp32.
+    """
+    B, T, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    M = H // KV  # kv_mul
+
+    qf = q.astype(jnp.float32).reshape(B, T, KV, M, D)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    # scores[b, t, k, m, s] — force true fp32 MXU passes (TPU einsum defaults
+    # to bf16 inputs at default precision, which breaks reference parity)
+    scores = jnp.einsum(
+        "btkmd,bskd->btkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+    ) / jnp.sqrt(jnp.float32(D))
+    mask = (
+        jnp.arange(S, dtype=jnp.int32)[None, :]
+        <= q_positions[:, None]
+    )  # [T, S]
+    probs = _masked_softmax(scores, mask[None, :, None, None, :])
+    out = jnp.einsum(
+        "btkms,bskd->btkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(B, T, H, D)
