@@ -1,0 +1,127 @@
+"""Temperature / top-p (nucleus) sampling with reference semantics.
+
+Pipeline per step (src/sampler.c:189-201): scale logits by 1/temperature,
+softmax over the full vocab, draw a coin from xorshift64*, then nucleus
+sampling (src/sampler.c:165-180): sort probabilities descending, truncate at
+the smallest prefix whose cumulative mass exceeds top_p (src/sampler.c:88-112,
+including the "mass healing" branch for mass < 1e-3), and pick by inverse CDF
+r = coin * mass (src/sampler.c:125-135, with its dist[n-1] fallback).
+
+Parameter clamping matches sampler_create (src/sampler.c:36-52):
+top_p -> [1e-6, 1.0] (NaN/+inf -> 1.0), temperature -> [1e-6, inf)
+(NaN/+inf -> 1.0). temperature ~ 0 therefore acts as greedy argmax.
+
+Two implementations with identical semantics:
+- `sample_host`: numpy, used as the parity oracle and by the simple CLI loop;
+- `make_device_sampler`: jitted batched version; sorting/CDF on device so
+  only the sampled token ids cross the host boundary.
+
+Tie-breaking note: the reference qsorts with a comparator returning 0 on
+equal probabilities; glibc's qsort is a (stable) mergesort in practice, so a
+stable descending sort reproduces its order.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_tpu.runtime.xorshift import XorshiftRng
+
+_EPS = 1e-6
+_HEAL_EPS = 1e-3
+
+
+def clamp_top_p(top_p: float) -> float:
+    if math.isnan(top_p) or top_p > 1.0 or top_p == math.inf:
+        return 1.0
+    if top_p < _EPS or top_p == -math.inf:
+        return _EPS
+    return top_p
+
+
+def clamp_temperature(t: float) -> float:
+    if math.isnan(t) or t == math.inf:
+        return 1.0
+    if t < _EPS or t == -math.inf:
+        return _EPS
+    return t
+
+
+def top_p_index(cum: np.ndarray, top_p: float) -> int:
+    """Smallest index whose cumulative mass exceeds top_p, else last index."""
+    exceeded = np.nonzero(cum > np.float32(top_p))[0]
+    return int(exceeded[0]) if exceeded.size else cum.shape[0] - 1
+
+
+def sample_from_probs_host(probs: np.ndarray, coin: float, top_p: float) -> int:
+    """Nucleus-sample a token id from a full softmax distribution."""
+    order = np.argsort(-probs, kind="stable")
+    sp = probs[order].astype(np.float32)
+    cum = np.cumsum(sp, dtype=np.float32)
+    idx = top_p_index(cum, top_p)
+    mass = float(cum[idx])
+    if mass < _HEAL_EPS:  # "heal" the truncated distribution
+        mass += float(cum[idx])
+    r = np.float32(coin) * np.float32(mass)
+    hits = np.nonzero(r < cum[: idx + 1])[0]
+    pick = int(hits[0]) if hits.size else idx - 1  # C fallback: dist[n-1]
+    return int(order[pick])
+
+
+class Sampler:
+    """Host-side sampler with the reference's stateful RNG."""
+
+    def __init__(self, vocab_size: int, temperature: float, top_p: float,
+                 seed: int):
+        self.vocab_size = vocab_size
+        self.temperature = clamp_temperature(temperature)
+        self.top_p = clamp_top_p(top_p)
+        self.rng = XorshiftRng(seed)
+
+    def sample_host(self, logits: np.ndarray) -> int:
+        x = logits.astype(np.float32) / np.float32(self.temperature)
+        x -= x.max()
+        e = np.exp(x, dtype=np.float32)
+        probs = e / e.sum(dtype=np.float32)
+        coin = self.rng.next_float()
+        return sample_from_probs_host(probs, coin, self.top_p)
+
+    def next_coin(self) -> float:
+        return self.rng.next_float()
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
+def sample_device(logits: jnp.ndarray, coin: jnp.ndarray, *,
+                  temperature: float, top_p: float) -> jnp.ndarray:
+    """Batched on-device nucleus sampling.
+
+    logits: [B, V] fp32, coin: [B] fp32 in [0,1). Returns [B] int32 token ids.
+    `temperature`/`top_p` must already be clamped.
+    """
+    B, V = logits.shape
+    x = logits.astype(jnp.float32) / jnp.float32(temperature)
+    probs = jax.nn.softmax(x, axis=-1)
+
+    order = jnp.argsort(-probs, axis=-1, stable=True)
+    sp = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1, dtype=jnp.float32)
+
+    exceeded = cum > jnp.float32(top_p)
+    has_break = jnp.any(exceeded, axis=-1)
+    idx = jnp.where(has_break, jnp.argmax(exceeded, axis=-1), V - 1)  # [B]
+    mass = jnp.take_along_axis(cum, idx[:, None], axis=-1)[:, 0]
+    mass = jnp.where(mass < _HEAL_EPS, mass + mass, mass)
+
+    r = coin.astype(jnp.float32) * mass
+    in_prefix = jnp.arange(V, dtype=jnp.int32)[None, :] <= idx[:, None]
+    hit = (r[:, None] < cum) & in_prefix
+    has_hit = jnp.any(hit, axis=-1)
+    pick = jnp.where(has_hit, jnp.argmax(hit, axis=-1), idx - 1)
+    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(
+        jnp.int32
+    )
