@@ -50,6 +50,24 @@ Params = dict[str, Any]
 _LAYER_MATS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
 
+def _dequant_bf16_host(q, s, group_size: int):
+    """Host-side Q8_0 -> bf16 [.., in, out] conversion, one layer at a time to
+    bound transient fp32 memory (device conversion of a 4B model would blow
+    past HBM during load)."""
+    import ml_dtypes
+    import numpy as np
+
+    def one(qi, si):
+        d, n = qi.shape
+        w = (qi.astype(np.float32).reshape(d, n // group_size, group_size)
+             * si[..., None]).reshape(d, n)
+        return np.ascontiguousarray(w.T).astype(ml_dtypes.bfloat16)
+
+    if q.ndim == 2:
+        return one(q, s)
+    return np.stack([one(q[i], s[i]) for i in range(q.shape[0])])
+
+
 def init_params(w: Q8Weights, mode: str = "bf16",
                 max_seq_len: int | None = None) -> Params:
     """Build the device parameter pytree from host Q8 weights.
@@ -80,11 +98,9 @@ def init_params(w: Q8Weights, mode: str = "bf16",
     elif mode == "bf16":
         g = cfg.group_size
         for name in _LAYER_MATS:
-            p[name + "_t"] = jnp.asarray(dequant_weights_bf16(
-                jnp.asarray(getattr(w, name + "_q")),
-                jnp.asarray(getattr(w, name + "_s")), g))
-        p["cls_t"] = jnp.asarray(dequant_weights_bf16(
-            jnp.asarray(w.cls_q), jnp.asarray(w.cls_s), g))
+            p[name + "_t"] = jnp.asarray(_dequant_bf16_host(
+                getattr(w, name + "_q"), getattr(w, name + "_s"), g))
+        p["cls_t"] = jnp.asarray(_dequant_bf16_host(w.cls_q, w.cls_s, g))
     else:
         raise ValueError(f"unknown mode: {mode}")
     return p
