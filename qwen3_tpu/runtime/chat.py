@@ -99,7 +99,7 @@ class ChatSession:
 
         n_tokens = 0
         next_tok = eng._sample(logits)
-        while self.pos < seq_len:
+        while True:
             if next_tok in (t.special.bos, t.special.eos):
                 break
             piece = t.id_to_token(next_tok)
@@ -107,6 +107,10 @@ class ChatSession:
                 stream_cb(piece)
             yield piece
             n_tokens += 1
+            # the reference emits the token sampled at the final position and
+            # only then hits the overflow check (src/completion.c:279-284)
+            if self.pos >= seq_len:
+                break
             logits = eng._decode_step(next_tok, self.pos)
             self.pos += 1
             next_tok = eng._sample(logits)
