@@ -1,0 +1,188 @@
+"""Benchmark: decode tokens/s on the flagship config, TPU vs. the reference
+C engine on the same synthetic Q8_0 checkpoint.
+
+Prints ONE JSON line:
+  {"metric": "decode_tok_s_per_chip", "value": N, "unit": "tok/s",
+   "vs_baseline": ratio, ...extras}
+
+- The checkpoint is synthetic (random Q8 weights with real architecture
+  shapes — tokens/s does not depend on weight values) and cached under
+  .cache/. The reference engine runs on the *same* file, so the baseline is
+  measured, not assumed (the reference publishes no numbers; see BASELINE.md).
+- Baseline timing uses the reference's own [tg]/[t/ms] counters from chat
+  mode (its only built-in measurement) and is cached in .cache/ because the
+  single-core C run is slow.
+
+Env knobs: BENCH_PRESET (default qwen3-4b), BENCH_CTX (default 1024),
+BENCH_DECODE_TOKENS (default 128), BENCH_SKIP_BASELINE=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".cache"
+PRESET = os.environ.get("BENCH_PRESET", "qwen3-4b")
+CTX = int(os.environ.get("BENCH_CTX", "1024"))
+N_DECODE = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
+PROMPT = "the thinker thought the thought and the thought thought in the thinker"
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_artifacts() -> str:
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    import dataclasses
+
+    CACHE.mkdir(exist_ok=True)
+    path = CACHE / f"{PRESET}.bin"
+    if not path.exists() or not Path(str(path) + ".tokenizer").exists():
+        log(f"generating synthetic {PRESET} checkpoint (one-time)...")
+        cfg = dataclasses.replace(PRESETS[PRESET], seq_len=max(CTX, 2048))
+        t0 = time.time()
+        write_checkpoint(str(path), synthetic_weights(cfg, seed=0))
+        write_tokenizer_bin(str(path) + ".tokenizer",
+                            synthetic_tokenizer(cfg.vocab_size))
+        log(f"wrote {path} ({path.stat().st_size/1e9:.2f} GB, "
+            f"{time.time()-t0:.0f}s)")
+    return str(path)
+
+
+def measure_engine(ckpt: str) -> dict:
+    from qwen3_tpu.runtime.engine import Engine, EngineConfig
+
+    eng = Engine(EngineConfig(
+        path=ckpt, seed=3, temperature=0.8, top_p=0.9, seq_len=CTX,
+        mode=os.environ.get("BENCH_QMODE", "bf16"), kv_dtype="bfloat16",
+        prefill_chunk=64,
+    ))
+    tok = eng.tokenizer
+    ids = tok.encode(PROMPT)
+
+    # --- warmup / compile
+    log("compiling prefill + decode...")
+    eng.reset(batch=1)
+    t0 = time.time()
+    logits = eng._prefill(ids, 0)
+    nxt = eng._sample(logits)
+    for i in range(3):
+        logits = eng._decode_step(nxt, len(ids) + i)
+        nxt = eng._sample(logits)
+    log(f"compile+warmup {time.time()-t0:.1f}s")
+
+    # --- prefill throughput (reuse a fresh cache)
+    eng.reset(batch=1)
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        logits = eng._prefill(ids, 0)
+    import jax
+    jax.block_until_ready(logits)
+    prefill_tok_s = reps * (len(ids) // 64 + 1) * 64 / (time.perf_counter() - t0)
+
+    # --- decode throughput
+    pos = len(ids)
+    nxt = eng._sample(logits)
+    t0 = time.perf_counter()
+    for i in range(N_DECODE):
+        logits = eng._decode_step(nxt, pos + i)
+        nxt = eng._sample(logits)
+    dt = time.perf_counter() - t0
+    decode_tok_s = N_DECODE / dt
+    log(f"decode: {decode_tok_s:.2f} tok/s ({dt*1e3/N_DECODE:.2f} ms/tok), "
+        f"prefill: {prefill_tok_s:.1f} tok/s")
+    return {"decode_tok_s": decode_tok_s, "prefill_tok_s": prefill_tok_s}
+
+
+def build_reference() -> Path | None:
+    ref_src = Path("/root/reference")
+    if not ref_src.exists() or shutil.which("cmake") is None:
+        return None
+    build = Path("/tmp/qwen3_ref_bench")
+    exe = build / "build" / "examples" / "qwen"
+    if exe.exists():
+        return exe
+    try:
+        shutil.rmtree(build, ignore_errors=True)
+        shutil.copytree(ref_src, build)
+        subprocess.run(["cmake", "-S", str(build), "-B", str(build / "build"),
+                        "-DCMAKE_BUILD_TYPE=Release"],
+                       check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", str(build / "build"), "-j", "8"],
+                       check=True, capture_output=True)
+        return exe
+    except subprocess.CalledProcessError as e:
+        log(f"reference build failed: {e.stderr[-300:]}")
+        return None
+
+
+def measure_baseline(ckpt: str) -> float | None:
+    """Reference C engine decode tok/s on this host (its own tg counter)."""
+    cache_file = CACHE / f"baseline_{PRESET}.json"
+    if cache_file.exists():
+        return json.loads(cache_file.read_text())["decode_tok_s"]
+    exe = build_reference()
+    if exe is None:
+        return None
+    # chat mode prints [tg Xms] [t/ms Y] per turn; cap the context so the
+    # single-core run finishes (prompt ~45 tokens + the rest generated)
+    ctx = int(os.environ.get("BENCH_BASELINE_CTX", "96"))
+    log(f"running reference C engine (1 turn, ctx={ctx}) — single-core, "
+        "may take minutes...")
+    env = dict(os.environ, OMP_NUM_THREADS=str(os.cpu_count() or 1))
+    t0 = time.time()
+    r = subprocess.run(
+        [str(exe), ckpt, "-m", "chat", "-t", "0.8", "-p", "0.9", "-s", "3",
+         "-c", str(ctx)],
+        input=(PROMPT + "\n\n").encode(), capture_output=True,
+        timeout=7200, env=env)
+    log(f"reference run {time.time()-t0:.0f}s rc={r.returncode}")
+    m = re.search(rb"\[t/ms ([0-9.]+)t?\]", r.stderr)
+    if not m:
+        log(f"no timing in reference stderr: {r.stderr[-300:]}")
+        return None
+    ms_per_tok = float(m.group(1))
+    tok_s = 1000.0 / ms_per_tok
+    cache_file.write_text(json.dumps(
+        {"decode_tok_s": tok_s, "ms_per_tok": ms_per_tok, "ctx": ctx,
+         "threads": env["OMP_NUM_THREADS"]}))
+    return tok_s
+
+
+def main() -> None:
+    ckpt = ensure_artifacts()
+    ours = measure_engine(ckpt)
+    baseline = None
+    if os.environ.get("BENCH_SKIP_BASELINE") != "1":
+        try:
+            baseline = measure_baseline(ckpt)
+        except Exception as e:  # baseline failure must not sink the bench
+            log(f"baseline failed: {e}")
+    vs = (ours["decode_tok_s"] / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "decode_tok_s_per_chip",
+        "value": round(ours["decode_tok_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "prefill_tok_s": round(ours["prefill_tok_s"], 1),
+        "baseline_tok_s": round(baseline, 3) if baseline else None,
+        "preset": PRESET, "ctx": CTX,
+        "qmode": os.environ.get("BENCH_QMODE", "bf16"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

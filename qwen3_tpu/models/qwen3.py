@@ -139,13 +139,10 @@ def _layer_weights(p: Params, mode: str, name: str):
     return (p[name + "_t"],)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "all_logits")
-)
-def forward(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-            k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-            start_pos: jnp.ndarray, *, mode: str = "bf16",
-            all_logits: bool = False):
+def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                 k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                 start_pos: jnp.ndarray, *, mode: str = "bf16",
+                 all_logits: bool = False):
     """Run a [B, T] block of tokens starting at absolute position `start_pos`.
 
     Returns (logits [B, T, V] or [B, 1, V], new_k_cache, new_v_cache).
@@ -208,3 +205,8 @@ def forward(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x[:, -1:, :]
     logits = linear(x, _layer_weights(p, mode, "cls"))
     return logits, new_k, new_v
+
+
+forward = functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "all_logits")
+)(forward_impl)

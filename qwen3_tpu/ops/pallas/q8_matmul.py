@@ -1,0 +1,98 @@
+"""Fused Q8_0 dequant + matmul Pallas kernel.
+
+The hot op of the engine (the reference's src/forward.c:79-101 matvec): read
+group-quantized int8 weights directly from HBM, dequantize tiles in VMEM, and
+feed the MXU — weights never exist in HBM at more than 1 byte/param, so
+bandwidth-bound decode runs ~2x faster than a bf16-dequantized weight copy.
+
+Layout (produced by models.init_params in "pallas" mode):
+  w_q [n, d] int8  — transposed so the contraction is the leading axis
+  w_s [n/G, d] f32 — per-(group, out-column) scales
+  x   [B, n]       — activations (f32 or bf16)
+  out [B, d] f32
+
+Grid: (d/TD, n/TK) with the contraction minor so each output tile stays
+resident in VMEM while k accumulates into it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
+            compute_dtype):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, td = wq_ref.shape
+    # dequantize the int8 tile: [TK, TD] -> grouped [TK/G, G, TD] * scales
+    w = wq_ref[:].astype(jnp.float32).reshape(tk // group_size, group_size, td)
+    w = (w * ws_ref[:][:, None, :]).reshape(tk, td).astype(compute_dtype)
+    out_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
+                          preferred_element_type=jnp.float32)
+
+
+def _pick_tile(n: int, group_size: int, cap: int) -> int:
+    """Largest multiple of `group_size` (and ideally 128) dividing n, <= cap."""
+    best = group_size
+    t = cap
+    while t >= group_size:
+        if n % t == 0 and t % group_size == 0:
+            return t
+        t -= group_size
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "block_d", "interpret",
+                     "compute_dtype"),
+)
+def q8_matmul_pallas(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray,
+                     group_size: int, block_k: int = 512, block_d: int = 512,
+                     compute_dtype=jnp.float32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """x [..., n] @ dequant(w_q [n, d], w_s [n/G, d]) -> [..., d] fp32."""
+    *lead, n = x.shape
+    d = w_q.shape[1]
+    xb = x.reshape(-1, n)
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, group_size, block_k)
+    td = _pick_tile(d, 128, block_d)
+    if d % td:  # pad output columns (caller slices or masks)
+        raise ValueError(f"d={d} not divisible by td={td}")
+
+    grid = (d // td, n // tk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, group_size=group_size,
+                          compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, td), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // group_size, td), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d + 4 * b * (n + d),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xb, w_q, w_s)
+    return out.reshape(*lead, d)

@@ -90,30 +90,23 @@ class ChatSession:
             return
 
         logits = eng._prefill(ids, self.pos)
-        self.pos += len(ids)
         # reference chat burns one RNG draw per prompt forward; the draw at
         # the last prompt position is the one that samples the first token
-        for _ in range(len(ids) - 1):
-            eng.sampler.next_coin()
+        token = eng._first_token(logits, len(ids) - 1)
+        self.pos += len(ids)
         t1 = time.perf_counter()
 
         n_tokens = 0
-        next_tok = eng._sample(logits)
-        while True:
-            if next_tok in (t.special.bos, t.special.eos):
-                break
-            piece = t.id_to_token(next_tok)
+        # emit_at_limit: the reference emits the token sampled at the final
+        # position and only then hits the overflow check
+        for toks, _done in eng._decode_chunks(token, self.pos, seq_len,
+                                              emit_at_limit=True):
+            piece = t.decode(toks)
             if stream_cb:
                 stream_cb(piece)
             yield piece
-            n_tokens += 1
-            # the reference emits the token sampled at the final position and
-            # only then hits the overflow check (src/completion.c:279-284)
-            if self.pos >= seq_len:
-                break
-            logits = eng._decode_step(next_tok, self.pos)
-            self.pos += 1
-            next_tok = eng._sample(logits)
+            n_tokens += len(toks)
+        self.pos = int(eng._last_pos)
         t2 = time.perf_counter()
 
         self.last_metrics = TurnMetrics(

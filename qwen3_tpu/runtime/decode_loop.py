@@ -1,0 +1,126 @@
+"""Fused on-device decode loop.
+
+The reference runs one forward per host-loop iteration; on TPU (especially
+through a high-latency runtime tunnel) every device->host synchronization
+costs milliseconds, so the whole autoregressive loop — forward, xorshift RNG,
+temperature/top-p sampling, stop-token handling — runs inside a single jitted
+`lax.while_loop` that emits a chunk of up to K tokens per dispatch. The host
+fetches one small int32 buffer per chunk and streams text from it.
+
+Semantics are identical to the host loops (and hence the C engine): each step
+emits the current token, runs the forward at the current position, draws
+exactly one xorshift coin, and samples the next token; the loop ends when the
+sampled token is BOS/EOS (stop token not emitted) or the position limit is
+reached. Completion mode stops *before* emitting at the limit
+(src/completion.c:57), chat mode emits the final token and only then hits the
+overflow check (src/completion.c:279-284) — `emit_at_limit` selects this.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_tpu.models.qwen3 import forward_impl
+from qwen3_tpu.runtime.sampler import sample_tokens
+from qwen3_tpu.runtime.xorshift import xorshift_coin_device
+
+
+class DecodeCarry(NamedTuple):
+    step: jnp.ndarray        # i32, tokens emitted within this chunk
+    token: jnp.ndarray       # i32 [B], current (sampled, unemitted) token
+    pos: jnp.ndarray         # i32, absolute position of the next forward
+    done: jnp.ndarray        # bool
+    rng_hi: jnp.ndarray      # u32
+    rng_lo: jnp.ndarray      # u32
+    k_cache: jnp.ndarray
+    v_cache: jnp.ndarray
+    out: jnp.ndarray         # i32 [K], emitted tokens (-1 padding)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
+                     "greedy", "bos", "eos", "emit_at_limit"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def decode_chunk(params, k_cache, v_cache, token, pos, limit,
+                 rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
+                 temperature: float, top_p: float, greedy: bool,
+                 bos: int, eos: int, emit_at_limit: bool = False):
+    """Generate up to `chunk` tokens fully on device (B=1).
+
+    token: i32 [1] — current sampled-but-unemitted token.
+    pos:   i32 scalar — position for the next forward.
+    limit: i32 scalar — exclusive position bound (seq_len or max-token cap).
+
+    Returns (out_tokens [chunk], n_emitted, done, k, v, token, pos,
+    rng_hi, rng_lo).
+    """
+
+    def cond(c: DecodeCarry):
+        return (c.step < chunk) & ~c.done
+
+    def body(c: DecodeCarry):
+        is_stop = (c.token[0] == bos) | (c.token[0] == eos)
+        at_limit = c.pos >= limit
+        if emit_at_limit:
+            do_emit = ~is_stop
+        else:
+            do_emit = ~is_stop & ~at_limit
+        do_fwd = ~is_stop & ~at_limit
+
+        out = c.out.at[c.step].set(jnp.where(do_emit, c.token[0], -1))
+        step = c.step + do_emit.astype(jnp.int32)
+        done = is_stop | at_limit
+
+        def fwd(c: DecodeCarry):
+            logits, kc, vc = forward_impl(
+                params, cfg, c.token[:, None], c.k_cache, c.v_cache,
+                c.pos, mode=mode)
+            hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
+            nxt = sample_tokens(logits[:, 0], coin[None], temperature,
+                                top_p, greedy=greedy)
+            return nxt, c.pos + 1, hi, lo, kc, vc
+
+        def nofwd(c: DecodeCarry):
+            return (c.token, c.pos, c.rng_hi, c.rng_lo, c.k_cache, c.v_cache)
+
+        nxt, new_pos, hi, lo, kc, vc = jax.lax.cond(do_fwd, fwd, nofwd, c)
+        return DecodeCarry(step=step, token=nxt, pos=new_pos, done=done,
+                           rng_hi=hi, rng_lo=lo, k_cache=kc, v_cache=vc,
+                           out=out)
+
+    init = DecodeCarry(
+        step=jnp.int32(0), token=token, pos=jnp.int32(pos),
+        done=jnp.bool_(False), rng_hi=rng_hi, rng_lo=rng_lo,
+        k_cache=k_cache, v_cache=v_cache,
+        out=jnp.full((chunk,), -1, jnp.int32))
+    c = jax.lax.while_loop(cond, body, init)
+    # pack (tokens..., n_emitted, done) into one buffer so the host needs a
+    # single device->host fetch per chunk
+    packed = jnp.concatenate(
+        [c.out, c.step[None], c.done.astype(jnp.int32)[None]])
+    return (packed, c.k_cache, c.v_cache, c.token, c.pos, c.rng_hi, c.rng_lo)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("temperature", "top_p", "greedy"))
+def burn_and_sample(logits, rng_hi, rng_lo, n_burn, *, temperature: float,
+                    top_p: float, greedy: bool):
+    """Advance the RNG `n_burn` draws (the reference chat loop burns one draw
+    per prompt token, src/completion.c:318-323), then draw once and sample the
+    first token from the prefill logits. Returns (token [1] i32, hi, lo)."""
+
+    def burn(_, s):
+        hi, lo, _c = xorshift_coin_device(s[0], s[1])
+        return (hi, lo)
+
+    rng_hi, rng_lo = jax.lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
+    hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
+    tok = sample_tokens(logits[None, :], coin[None], temperature, top_p,
+                        greedy=greedy)
+    return tok, hi, lo

@@ -5,10 +5,12 @@ loop (src/completion.c:24-84) semantics, re-architected for TPU:
 
 - prompt prefill runs as chunked batched forward passes (the reference
   teacher-forces one token per step through the full model);
-- decode runs a jitted step (forward T=1 + on-device sampling), with one
-  device->host transfer per token (the sampled id) for streaming;
-- the xorshift RNG state advances on the host exactly like the C engine, so
-  seeded streams reproduce token-for-token.
+- decode runs as fused on-device chunks (see runtime/decode_loop.py):
+  forward + xorshift RNG + top-p sampling + stop handling inside one jitted
+  while_loop, one small device->host fetch per K tokens — device round-trips,
+  not FLOPs, dominate per-token latency on a remote TPU runtime;
+- the xorshift64* state lives on device and carries across chunks and chat
+  turns, so seeded streams reproduce the C engine token-for-token.
 """
 
 from __future__ import annotations
@@ -23,8 +25,12 @@ import numpy as np
 from qwen3_tpu.config import MAX_SEQ_LEN, ModelConfig
 from qwen3_tpu.io.checkpoint import load_checkpoint
 from qwen3_tpu.models import forward, init_kv_cache, init_params
-from qwen3_tpu.runtime.sampler import Sampler, sample_device
+from qwen3_tpu.runtime.decode_loop import burn_and_sample, decode_chunk
+from qwen3_tpu.runtime.sampler import Sampler
+from qwen3_tpu.runtime.xorshift import seed_to_device
 from qwen3_tpu.tokenizer import Tokenizer
+
+_GREEDY_EPS = 1e-6
 
 
 @dataclasses.dataclass
@@ -37,9 +43,10 @@ class EngineConfig:
     temperature: float = 1.0
     top_p: float = 0.9
     seq_len: int = 0               # 0 -> min(checkpoint max, 32768) like the CLI
-    mode: str = "bf16"             # "exact" | "bf16"
+    mode: str = "bf16"             # "exact" | "bf16" | "pallas"
     kv_dtype: str = "float32"
     prefill_chunk: int = 64
+    decode_chunk: int = 32         # tokens generated per device dispatch
     batch: int = 1
 
 
@@ -69,14 +76,21 @@ class Engine:
                                   max_seq_len=self.model_cfg.seq_len)
         self.sampler = Sampler(self.tokenizer.vocab_size, cfg.temperature,
                                cfg.top_p, cfg.seed)
+        # greedy shortcut: at the epsilon temperature the reference's top-p
+        # path reduces to argmax (up to exact fp32 logit ties)
+        self.greedy = self.sampler.temperature <= _GREEDY_EPS
         self.kv_dtype = jnp.dtype(cfg.kv_dtype)
         self._kv = None
+        self._rng = seed_to_device(cfg.seed)
 
     # -- state ---------------------------------------------------------------
 
     def reset(self, batch: int = 1):
         self._kv = init_kv_cache(self.model_cfg, batch,
                                  self.model_cfg.seq_len, self.kv_dtype)
+
+    def reset_rng(self):
+        self._rng = seed_to_device(self.cfg.seed)
 
     # -- forward helpers -----------------------------------------------------
 
@@ -99,20 +113,42 @@ class Engine:
         self._kv = (k, v)
         return logits  # [1, V]
 
-    def _decode_step(self, token: int, pos: int) -> jnp.ndarray:
-        k, v = self._kv
-        lg, k, v = forward(self.params, self.model_cfg,
-                           jnp.asarray([[token]], jnp.int32), k, v,
-                           jnp.int32(pos), mode=self.cfg.mode)
-        self._kv = (k, v)
-        return lg[:, 0]  # [1, V]
+    def _first_token(self, logits: jnp.ndarray, n_burn: int):
+        """Sample the first generated token on device (after n_burn discarded
+        RNG draws — chat burns one per prompt token like the C loop)."""
+        hi, lo = self._rng
+        tok, hi, lo = burn_and_sample(
+            logits[0], hi, lo, jnp.int32(n_burn),
+            temperature=self.sampler.temperature, top_p=self.sampler.top_p,
+            greedy=self.greedy)
+        self._rng = (hi, lo)
+        return tok
 
-    def _sample(self, logits: jnp.ndarray) -> int:
-        coin = self.sampler.next_coin()
-        tok = sample_device(logits, jnp.asarray([coin], jnp.float32),
-                            temperature=self.sampler.temperature,
-                            top_p=self.sampler.top_p)
-        return int(tok[0])
+    def _decode_chunks(self, token, pos, limit: int, emit_at_limit: bool):
+        """Yield (np_tokens, done) per on-device chunk until stop/limit."""
+        k, v = self._kv
+        hi, lo = self._rng
+        t = self.tokenizer
+        pos = jnp.int32(pos)
+        done = False
+        while not done:
+            packed, k, v, token, pos, hi, lo = decode_chunk(
+                self.params, k, v, token, pos, jnp.int32(limit), hi, lo,
+                cfg=self.model_cfg, mode=self.cfg.mode,
+                chunk=self.cfg.decode_chunk,
+                temperature=self.sampler.temperature,
+                top_p=self.sampler.top_p, greedy=self.greedy,
+                bos=t.special.bos, eos=t.special.eos,
+                emit_at_limit=emit_at_limit)
+            arr = np.asarray(packed)  # the one host sync per chunk
+            n, done = int(arr[-2]), bool(arr[-1])
+            self._kv = (k, v)
+            self._rng = (hi, lo)
+            self._last_pos = pos
+            if n:
+                yield arr[:n], done
+            if n == 0:
+                break
 
     # -- completion (single turn) ---------------------------------------------
 
@@ -132,6 +168,7 @@ class Engine:
 
         self.reset(batch=1)
         logits = self._prefill(ids, 0)
+        token = self._first_token(logits, 0)
         t1 = time.perf_counter()
 
         out_ids = list(ids)
@@ -140,19 +177,13 @@ class Engine:
 
         limit = seq_len if max_tokens is None else min(
             seq_len, len(ids) + max_tokens)
-        pos = len(ids)
         n_gen = 0
-        next_tok = self._sample(logits)
-        while pos < limit:
-            if next_tok in (t.special.bos, t.special.eos):
-                break
-            out_ids.append(next_tok)
-            n_gen += 1
+        for toks, _done in self._decode_chunks(token, len(ids), limit,
+                                               emit_at_limit=False):
+            out_ids.extend(int(x) for x in toks)
+            n_gen += len(toks)
             if stream_cb:
-                stream_cb(t.id_to_token(next_tok))
-            logits = self._decode_step(next_tok, pos)
-            pos += 1
-            next_tok = self._sample(logits)
+                stream_cb(t.decode(toks))
         t2 = time.perf_counter()
 
         return GenerationResult(

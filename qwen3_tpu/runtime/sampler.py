@@ -95,14 +95,19 @@ class Sampler:
         return self.rng.next_float()
 
 
-@functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
-def sample_device(logits: jnp.ndarray, coin: jnp.ndarray, *,
-                  temperature: float, top_p: float) -> jnp.ndarray:
-    """Batched on-device nucleus sampling.
+def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
+                  temperature: float, top_p: float,
+                  greedy: bool = False) -> jnp.ndarray:
+    """Functional batched nucleus sampling (traceable inside loops).
 
     logits: [B, V] fp32, coin: [B] fp32 in [0,1). Returns [B] int32 token ids.
-    `temperature`/`top_p` must already be clamped.
+    `temperature`/`top_p` must already be clamped. With `greedy=True` the
+    full sort is skipped and argmax is returned (equivalent to the epsilon-
+    temperature path for non-tied logits; the reference resolves exact fp32
+    ties by coin flip, argmax by lowest id).
     """
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     B, V = logits.shape
     x = logits.astype(jnp.float32) / jnp.float32(temperature)
     probs = jax.nn.softmax(x, axis=-1)
@@ -125,3 +130,10 @@ def sample_device(logits: jnp.ndarray, coin: jnp.ndarray, *,
     return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(
         jnp.int32
     )
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
+def sample_device(logits: jnp.ndarray, coin: jnp.ndarray, *,
+                  temperature: float, top_p: float) -> jnp.ndarray:
+    """Jitted wrapper around sample_tokens for standalone use."""
+    return sample_tokens(logits, coin, temperature, top_p)
