@@ -30,6 +30,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 CACHE = REPO / ".cache"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(CACHE / "jaxcache"))
 PRESET = os.environ.get("BENCH_PRESET", "qwen3-4b")
 CTX = int(os.environ.get("BENCH_CTX", "1024"))
 N_DECODE = int(os.environ.get("BENCH_DECODE_TOKENS", "128"))
@@ -62,48 +63,46 @@ def ensure_artifacts() -> str:
 
 
 def measure_engine(ckpt: str) -> dict:
+    import numpy as np
+
     from qwen3_tpu.runtime.engine import Engine, EngineConfig
 
+    greedy = os.environ.get("BENCH_GREEDY", "1") == "1"
     eng = Engine(EngineConfig(
-        path=ckpt, seed=3, temperature=0.8, top_p=0.9, seq_len=CTX,
-        mode=os.environ.get("BENCH_QMODE", "bf16"), kv_dtype="bfloat16",
-        prefill_chunk=64,
+        path=ckpt, seed=3, temperature=0.0 if greedy else 0.8, top_p=0.9,
+        seq_len=CTX, mode=os.environ.get("BENCH_QMODE", "bf16"),
+        kv_dtype="bfloat16", prefill_chunk=64,
+        decode_chunk=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
     ))
     tok = eng.tokenizer
     ids = tok.encode(PROMPT)
 
-    # --- warmup / compile
+    # --- warmup / compile (block_until_ready is unreliable on tunneled
+    # runtimes, so every measurement synchronizes via a host fetch)
     log("compiling prefill + decode...")
-    eng.reset(batch=1)
     t0 = time.time()
-    logits = eng._prefill(ids, 0)
-    nxt = eng._sample(logits)
-    for i in range(3):
-        logits = eng._decode_step(nxt, len(ids) + i)
-        nxt = eng._sample(logits)
-    log(f"compile+warmup {time.time()-t0:.1f}s")
+    res = eng.generate(PROMPT, max_tokens=2 * eng.cfg.decode_chunk)
+    log(f"compile+warmup {time.time()-t0:.1f}s "
+        f"({res.n_generated} tokens warm)")
 
-    # --- prefill throughput (reuse a fresh cache)
+    # --- prefill throughput: time chunked prefill with one final fetch
     eng.reset(batch=1)
     reps = 4
+    n_chunks = -(-len(ids) // 64)
     t0 = time.perf_counter()
     for _ in range(reps):
         logits = eng._prefill(ids, 0)
-    import jax
-    jax.block_until_ready(logits)
-    prefill_tok_s = reps * (len(ids) // 64 + 1) * 64 / (time.perf_counter() - t0)
+    _ = np.asarray(logits[0, :8])  # sync
+    prefill_tok_s = reps * n_chunks * 64 / (time.perf_counter() - t0)
 
-    # --- decode throughput
-    pos = len(ids)
-    nxt = eng._sample(logits)
+    # --- decode throughput: fresh generation, timed portion excludes prefill
     t0 = time.perf_counter()
-    for i in range(N_DECODE):
-        logits = eng._decode_step(nxt, pos + i)
-        nxt = eng._sample(logits)
-    dt = time.perf_counter() - t0
-    decode_tok_s = N_DECODE / dt
-    log(f"decode: {decode_tok_s:.2f} tok/s ({dt*1e3/N_DECODE:.2f} ms/tok), "
-        f"prefill: {prefill_tok_s:.1f} tok/s")
+    res = eng.generate(PROMPT, max_tokens=N_DECODE)
+    dt = res.generate_ms / 1e3
+    n = res.n_generated
+    decode_tok_s = n / dt
+    log(f"decode: {decode_tok_s:.2f} tok/s ({dt*1e3/max(n,1):.2f} ms/tok, "
+        f"{n} tokens), prefill: {prefill_tok_s:.1f} tok/s")
     return {"decode_tok_s": decode_tok_s, "prefill_tok_s": prefill_tok_s}
 
 
@@ -145,7 +144,7 @@ def measure_baseline(ckpt: str) -> float | None:
     env = dict(os.environ, OMP_NUM_THREADS=str(os.cpu_count() or 1))
     t0 = time.time()
     r = subprocess.run(
-        [str(exe), ckpt, "-m", "chat", "-t", "0.8", "-p", "0.9", "-s", "3",
+        [str(exe), ckpt, "-m", "chat", "-t", "0", "-p", "0.9", "-s", "3",
          "-c", str(ctx)],
         input=(PROMPT + "\n\n").encode(), capture_output=True,
         timeout=7200, env=env)

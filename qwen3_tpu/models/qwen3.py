@@ -68,6 +68,13 @@ def _dequant_bf16_host(q, s, group_size: int):
     return np.stack([one(q[i], s[i]) for i in range(q.shape[0])])
 
 
+def _transpose_stacked(a):
+    """[..., out, in] -> contiguous [..., in, out] on host."""
+    import numpy as np
+
+    return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+
+
 def init_params(w: Q8Weights, mode: str = "bf16",
                 max_seq_len: int | None = None) -> Params:
     """Build the device parameter pytree from host Q8 weights.
@@ -101,6 +108,15 @@ def init_params(w: Q8Weights, mode: str = "bf16",
             p[name + "_t"] = jnp.asarray(_dequant_bf16_host(
                 getattr(w, name + "_q"), getattr(w, name + "_s"), g))
         p["cls_t"] = jnp.asarray(_dequant_bf16_host(w.cls_q, w.cls_s, g))
+    elif mode == "pallas":
+        # int8 weights transposed to [in, out] (+ scales [in/G, out]) so the
+        # fused dequant+matmul kernel streams them from HBM contraction-major
+        for name in _LAYER_MATS:
+            q, s = getattr(w, name + "_q"), getattr(w, name + "_s")
+            p[name + "_q"] = jnp.asarray(_transpose_stacked(q))
+            p[name + "_s"] = jnp.asarray(_transpose_stacked(s))
+        p["cls_q"] = jnp.asarray(_transpose_stacked(w.cls_q))
+        p["cls_s"] = jnp.asarray(_transpose_stacked(w.cls_s))
     else:
         raise ValueError(f"unknown mode: {mode}")
     return p
@@ -126,6 +142,18 @@ def _make_linear(mode: str, group_size: int):
             w_q, w_s = layer_w
             xq, xs = quantize_act(x, group_size)
             return q8_matmul_exact(xq, xs, w_q, w_s, group_size)
+    elif mode == "pallas":
+        import jax as _jax
+
+        from qwen3_tpu.ops.pallas.q8_matmul import q8_matmul_pallas
+
+        interpret = _jax.default_backend() == "cpu"
+
+        def linear(x, layer_w):
+            w_q, w_s = layer_w
+            return q8_matmul_pallas(x, w_q, w_s, group_size,
+                                    compute_dtype=jnp.bfloat16,
+                                    interpret=interpret)
     else:
         def linear(x, layer_w):
             (w_t,) = layer_w
@@ -134,9 +162,9 @@ def _make_linear(mode: str, group_size: int):
 
 
 def _layer_weights(p: Params, mode: str, name: str):
-    if mode == "exact":
-        return (p[name + "_q"], p[name + "_s"])
-    return (p[name + "_t"],)
+    if mode == "bf16":
+        return (p[name + "_t"],)
+    return (p[name + "_q"], p[name + "_s"])
 
 
 def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -168,13 +196,13 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         "k_cache": k_cache, "v_cache": v_cache,
     }
     for name in _LAYER_MATS:
-        for part in (("_q", "_s") if mode == "exact" else ("_t",)):
+        for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
     def body(x, xs):
         lw = lambda name: tuple(
             xs[name + part]
-            for part in (("_q", "_s") if mode == "exact" else ("_t",))
+            for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
         h = rmsnorm(x, xs["att_norm"])
         q = linear(h, lw("wq")).reshape(B, T, H, D)

@@ -41,15 +41,16 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
                           preferred_element_type=jnp.float32)
 
 
-def _pick_tile(n: int, group_size: int, cap: int) -> int:
-    """Largest multiple of `group_size` (and ideally 128) dividing n, <= cap."""
-    best = group_size
-    t = cap
-    while t >= group_size:
-        if n % t == 0 and t % group_size == 0:
+def _pick_tile(n: int, quantum: int, cap: int) -> int:
+    """Largest multiple of `quantum` dividing n, <= cap; falls back to n
+    itself for small dims (Mosaic pads sub-tile blocks)."""
+    t = min(cap, n)
+    t -= t % quantum
+    while t >= quantum:
+        if n % t == 0:
             return t
-        t -= group_size
-    return best
+        t -= quantum
+    return n if n <= cap else quantum
 
 
 @functools.partial(
