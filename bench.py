@@ -82,6 +82,8 @@ def measure_engine(ckpt: str) -> dict:
     log("compiling prefill + decode...")
     t0 = time.time()
     res = eng.generate(PROMPT, max_tokens=2 * eng.cfg.decode_chunk)
+    eng.reset(batch=1)
+    _ = np.asarray(eng._prefill(ids, 0)[0, :8])  # warm prefill+sync path
     log(f"compile+warmup {time.time()-t0:.1f}s "
         f"({res.n_generated} tokens warm)")
 
@@ -138,7 +140,10 @@ def measure_baseline(ckpt: str) -> float | None:
         return None
     # chat mode prints [tg Xms] [t/ms Y] per turn; cap the context so the
     # single-core run finishes (prompt ~45 tokens + the rest generated)
-    ctx = int(os.environ.get("BENCH_BASELINE_CTX", "96"))
+    # note: the reference sizes its chat prompt buffer in BYTES = ctx
+    # (src/completion.c:272), so ctx must exceed the rendered template length
+    # or the turn ends in a truncated-prompt overflow with no timing line
+    ctx = int(os.environ.get("BENCH_BASELINE_CTX", "192"))
     log(f"running reference C engine (1 turn, ctx={ctx}) — single-core, "
         "may take minutes...")
     env = dict(os.environ, OMP_NUM_THREADS=str(os.cpu_count() or 1))

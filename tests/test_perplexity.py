@@ -1,0 +1,43 @@
+"""Perplexity parity: exact-mode JAX ppl vs. the NumPy oracle, and the
+bf16 weight-only path within the Δ<=0.05 acceptance band."""
+
+import numpy as np
+import pytest
+
+import oracle
+from qwen3_tpu.eval import perplexity, sequence_nll
+from qwen3_tpu.models import init_params
+
+
+def oracle_nll(weights, tokens):
+    st = oracle.OracleState(weights, len(tokens))
+    out = []
+    for pos in range(len(tokens) - 1):
+        logits = oracle.forward(weights, st, tokens[pos], pos)
+        logp = logits - logits.max()
+        logp = logp - np.log(np.exp(logp).sum())
+        out.append(-logp[tokens[pos + 1]])
+    return np.asarray(out, np.float32)
+
+
+@pytest.fixture(scope="module")
+def tokens(rng):
+    return [int(x) for x in rng.integers(0, 512, size=24)]
+
+
+def test_exact_ppl_matches_oracle(tiny_weights, tiny_cfg, tokens):
+    params = init_params(tiny_weights, mode="exact")
+    got = sequence_nll(params, tiny_cfg, tokens, mode="exact", chunk=8)
+    want = oracle_nll(tiny_weights, tokens)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bf16_ppl_within_band(tiny_weights, tiny_cfg, tokens):
+    exact = perplexity(init_params(tiny_weights, mode="exact"), tiny_cfg,
+                       tokens, mode="exact")
+    bf16 = perplexity(init_params(tiny_weights, mode="bf16"), tiny_cfg,
+                      tokens, mode="bf16")
+    # BASELINE.md's Δppl <= 0.05 is calibrated for real-model ppl ~ 10,
+    # i.e. ~0.5% relative; the random tiny model sits at max entropy
+    # (ppl ~ vocab_size), so apply the equivalent relative band
+    assert abs(bf16 - exact) / exact <= 0.005, (bf16, exact)
