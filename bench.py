@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import subprocess
 import sys
@@ -131,38 +130,46 @@ def build_reference() -> Path | None:
 
 
 def measure_baseline(ckpt: str) -> float | None:
-    """Reference C engine decode tok/s on this host (its own tg counter)."""
+    """Reference C engine tok/s on this host.
+
+    The reference's own [pp/tg] counters only print when a turn ends in EOS
+    (src/completion.c:327-340) — random-weight greedy streams never do — so
+    we time two completion runs with different context lengths and take the
+    marginal positions/second, which cancels load/mmap-page-in time. The
+    completion loop costs one full forward per position for prompt and
+    generation alike (src/completion.c:57-66), so this is its decode rate.
+    """
     cache_file = CACHE / f"baseline_{PRESET}.json"
     if cache_file.exists():
         return json.loads(cache_file.read_text())["decode_tok_s"]
     exe = build_reference()
     if exe is None:
         return None
-    # chat mode prints [tg Xms] [t/ms Y] per turn; cap the context so the
-    # single-core run finishes (prompt ~45 tokens + the rest generated)
-    # note: the reference sizes its chat prompt buffer in BYTES = ctx
-    # (src/completion.c:272), so ctx must exceed the rendered template length
-    # or the turn ends in a truncated-prompt overflow with no timing line
-    ctx = int(os.environ.get("BENCH_BASELINE_CTX", "192"))
-    log(f"running reference C engine (1 turn, ctx={ctx}) — single-core, "
-        "may take minutes...")
+    c_lo = int(os.environ.get("BENCH_BASELINE_CTX_LO", "32"))
+    c_hi = int(os.environ.get("BENCH_BASELINE_CTX_HI", "160"))
     env = dict(os.environ, OMP_NUM_THREADS=str(os.cpu_count() or 1))
-    t0 = time.time()
-    r = subprocess.run(
-        [str(exe), ckpt, "-m", "chat", "-t", "0", "-p", "0.9", "-s", "3",
-         "-c", str(ctx)],
-        input=(PROMPT + "\n\n").encode(), capture_output=True,
-        timeout=7200, env=env)
-    log(f"reference run {time.time()-t0:.0f}s rc={r.returncode}")
-    m = re.search(rb"\[t/ms ([0-9.]+)t?\]", r.stderr)
-    if not m:
-        log(f"no timing in reference stderr: {r.stderr[-300:]}")
-        return None
-    ms_per_tok = float(m.group(1))
-    tok_s = 1000.0 / ms_per_tok
+
+    def run(ctx: int) -> float:
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [str(exe), ckpt, "-m", "completion", "-i", PROMPT, "-t", "0",
+             "-p", "0.9", "-s", "3", "-c", str(ctx)],
+            capture_output=True, timeout=7200, env=env)
+        dt = time.perf_counter() - t0
+        assert r.returncode == 0, r.stderr[-300:]
+        return dt
+
+    log(f"running reference C engine (ctx {c_lo} then {c_hi}) — "
+        "single-core, may take minutes...")
+    run(c_lo)  # warm the page cache
+    t_lo = run(c_lo)
+    t_hi = run(c_hi)
+    tok_s = (c_hi - c_lo) / max(t_hi - t_lo, 1e-9)
+    log(f"reference: {t_lo:.1f}s @{c_lo} vs {t_hi:.1f}s @{c_hi} "
+        f"-> {tok_s:.3f} tok/s")
     cache_file.write_text(json.dumps(
-        {"decode_tok_s": tok_s, "ms_per_tok": ms_per_tok, "ctx": ctx,
-         "threads": env["OMP_NUM_THREADS"]}))
+        {"decode_tok_s": tok_s, "ctx_lo": c_lo, "ctx_hi": c_hi,
+         "t_lo": t_lo, "t_hi": t_hi, "threads": env["OMP_NUM_THREADS"]}))
     return tok_s
 
 
