@@ -34,7 +34,7 @@ from jax import lax
 
 from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.io.checkpoint import Q8Weights
-from qwen3_tpu.ops.attention import gqa_attention
+from qwen3_tpu.ops.attention import gqa_attention, gqa_attention_per_slot
 from qwen3_tpu.ops.activations import swiglu
 from qwen3_tpu.ops.norms import rmsnorm
 from qwen3_tpu.ops.q8 import dequantize, quantize_act
@@ -238,3 +238,68 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 forward = functools.partial(
     jax.jit, static_argnames=("cfg", "mode", "all_logits")
 )(forward_impl)
+
+
+def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                        k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                        positions: jnp.ndarray, *, mode: str = "bf16"):
+    """Batched single-token decode with *per-slot* positions.
+
+    tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
+    position — the serving engine's continuous-batching step). Returns
+    (logits [B, V], new_k, new_v). Cache rows are updated per slot at their
+    own position via scatter.
+    """
+    B = tokens.shape[0]
+    H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    linear = _make_linear(mode, cfg.group_size)
+    rows = jnp.arange(B)
+
+    x = _embed(p, cfg, tokens[:, None])          # [B, 1, dim]
+    cos = jnp.take(p["rope_cos"], positions, axis=0)[:, None, None, :]
+    sin = jnp.take(p["rope_sin"], positions, axis=0)[:, None, None, :]
+
+    def rope(v):  # [B, 1, heads, D]
+        half = v.shape[-1] // 2
+        a, b = v[..., :half], v[..., half:]
+        return jnp.concatenate([a * cos - b * sin, a * sin + b * cos], axis=-1)
+
+    layer_xs = {
+        "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
+        "q_norm": p["q_norm"], "k_norm": p["k_norm"],
+        "k_cache": k_cache, "v_cache": v_cache,
+    }
+    for name in _LAYER_MATS:
+        for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
+            layer_xs[name + part] = p[name + part]
+
+    def body(x, xs):
+        lw = lambda name: tuple(
+            xs[name + part]
+            for part in (("_q", "_s") if mode != "bf16" else ("_t",))
+        )
+        h = rmsnorm(x, xs["att_norm"])
+        q = linear(h, lw("wq")).reshape(B, 1, H, D)
+        k = linear(h, lw("wk")).reshape(B, 1, KV, D)
+        v = linear(h, lw("wv")).reshape(B, 1, KV, D)
+
+        q = rope(rmsnorm(q, xs["q_norm"]))
+        k = rope(rmsnorm(k, xs["k_norm"]))
+
+        kc = xs["k_cache"].at[rows, positions].set(
+            k[:, 0].astype(xs["k_cache"].dtype))
+        vc = xs["v_cache"].at[rows, positions].set(
+            v[:, 0].astype(xs["v_cache"].dtype))
+
+        att = gqa_attention_per_slot(q[:, 0], kc, vc, positions)  # [B, H, D]
+        x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
+
+        h = rmsnorm(x, xs["ffn_norm"])
+        x = x + linear(swiglu(linear(h, lw("w1")), linear(h, lw("w3"))),
+                       lw("w2"))
+        return x, (kc, vc)
+
+    x, (new_k, new_v) = lax.scan(body, x, layer_xs)
+    x = rmsnorm(x, p["out_norm"])
+    logits = linear(x, _layer_weights(p, mode, "cls"))
+    return logits[:, 0], new_k, new_v

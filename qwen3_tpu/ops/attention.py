@@ -28,6 +28,34 @@ def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
+                           v_cache: jnp.ndarray,
+                           positions: jnp.ndarray) -> jnp.ndarray:
+    """Single-token GQA attention with a distinct position per batch slot.
+
+    q: [B, H, D]; k/v_cache: [B, S, KV, D]; positions: [B] int32.
+    Slot b attends cache slots 0..positions[b]. Returns [B, H, D] fp32.
+    """
+    B, H, D = q.shape
+    S, KV = k_cache.shape[1], k_cache.shape[2]
+    M = H // KV
+
+    qf = q.astype(jnp.float32).reshape(B, KV, M, D)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum(
+        "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+    ) / jnp.sqrt(jnp.float32(D))
+    mask = (jnp.arange(S, dtype=jnp.int32)[None, :]
+            <= positions[:, None])                       # [B, S]
+    probs = _masked_softmax(scores, mask[:, None, None, :])
+    out = jnp.einsum(
+        "bkms,bskd->bkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(B, H, D)
+
+
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                   q_positions: jnp.ndarray) -> jnp.ndarray:
     """Dense masked GQA attention against the full cache.

@@ -1,0 +1,300 @@
+"""Continuous-batching serving engine.
+
+The reference serves exactly one stream, one token per forward
+(src/completion.c:57-80); this engine serves up to `max_batch` concurrent
+streams through one shared [L, B, S, KV, HD] KV cache:
+
+- each slot carries its own position, stop state and xorshift64* RNG state
+  (per-request seeds stay reproducible regardless of batch composition —
+  done slots keep their RNG frozen);
+- decode runs as a fused on-device chunk over all slots (per-slot positions,
+  per-slot causal masks — models.decode_forward_impl), K tokens per dispatch,
+  one packed host fetch per chunk;
+- new requests are admitted between chunks by prefilling into a free slot's
+  cache rows (continuous batching at chunk granularity).
+
+Token streams are bit-identical to the single-stream engine for the same
+(seed, sampler) request: the only interaction between slots is batching of
+identical per-row math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_tpu.config import ModelConfig
+from qwen3_tpu.io.checkpoint import load_checkpoint
+from qwen3_tpu.models import forward, init_kv_cache, init_params
+from qwen3_tpu.models.qwen3 import decode_forward_impl
+from qwen3_tpu.runtime.sampler import (
+    Sampler,
+    clamp_temperature,
+    clamp_top_p,
+    sample_tokens,
+)
+from qwen3_tpu.runtime.xorshift import (
+    seed_to_device,
+    xorshift_coin_device,
+)
+from qwen3_tpu.tokenizer import Tokenizer
+
+_GREEDY_EPS = 1e-6
+
+
+class BatchCarry(NamedTuple):
+    step: jnp.ndarray      # i32
+    token: jnp.ndarray     # i32 [B]
+    pos: jnp.ndarray       # i32 [B]
+    done: jnp.ndarray      # bool [B]
+    rng_hi: jnp.ndarray    # u32 [B]
+    rng_lo: jnp.ndarray    # u32 [B]
+    k_cache: jnp.ndarray
+    v_cache: jnp.ndarray
+    out: jnp.ndarray       # i32 [B, K]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
+                     "greedy", "bos", "eos"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
+                         rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
+                         temperature: float, top_p: float, greedy: bool,
+                         bos: int, eos: int):
+    """Up to `chunk` decode steps over all live slots.
+
+    token/pos/limit/done/rng_*: per-slot [B] arrays. A slot stops emitting at
+    BOS/EOS or when its position reaches its limit; its RNG and position then
+    freeze so per-stream reproducibility is independent of batch-mates.
+
+    Returns (out [B, K+2] packed with (tokens.., n_live_steps, all_done),
+    k, v, token, pos, done, rng_hi, rng_lo).
+    """
+    B = token.shape[0]
+
+    def cond(c: BatchCarry):
+        return (c.step < chunk) & ~jnp.all(c.done)
+
+    def body(c: BatchCarry):
+        is_stop = (c.token == bos) | (c.token == eos)
+        at_limit = c.pos >= limit
+        newly_done = c.done | is_stop | at_limit
+        emit = ~newly_done
+
+        out = c.out.at[:, c.step].set(jnp.where(emit, c.token, -1))
+
+        # done slots still flow through the batched forward (their rows are
+        # wasted work but keep shapes static); clamp their write position
+        # into range — the overwritten slot belongs to a finished stream and
+        # is re-prefilled before any reuse
+        S = c.k_cache.shape[2]
+        write_pos = jnp.minimum(c.pos, S - 1)
+        logits, kc, vc = decode_forward_impl(
+            params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode)
+        hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
+        nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy)
+
+        # frozen slots keep token/pos/rng; live slots advance
+        token_n = jnp.where(newly_done, c.token, nxt)
+        pos_n = jnp.where(newly_done, c.pos, c.pos + 1)
+        hi_n = jnp.where(newly_done, c.rng_hi, hi)
+        lo_n = jnp.where(newly_done, c.rng_lo, lo)
+        return BatchCarry(step=c.step + 1, token=token_n, pos=pos_n,
+                          done=newly_done, rng_hi=hi_n, rng_lo=lo_n,
+                          k_cache=kc, v_cache=vc, out=out)
+
+    init = BatchCarry(
+        step=jnp.int32(0), token=token, pos=pos, done=done,
+        rng_hi=rng_hi, rng_lo=rng_lo, k_cache=k_cache, v_cache=v_cache,
+        out=jnp.full((B, chunk), -1, jnp.int32))
+    c = jax.lax.while_loop(cond, body, init)
+    packed = jnp.concatenate(
+        [c.out, c.pos[:, None],
+         c.done.astype(jnp.int32)[:, None]], axis=1)
+    return (packed, c.k_cache, c.v_cache, c.token, c.pos, c.done,
+            c.rng_hi, c.rng_lo)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "temperature", "top_p",
+                              "greedy"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def prefill_into_slot(params, k_cache, v_cache, tokens, n_valid, slot,
+                      rng_hi, rng_lo, n_burn, *, cfg, mode: str,
+                      temperature: float, top_p: float, greedy: bool):
+    """Prefill one request into cache slot `slot` and sample its first token.
+
+    tokens: [T] i32 (right-padded to the prefill bucket); n_valid: i32 actual
+    prompt length. Padded rows only write cache slots the decode loop
+    overwrites before reading. Burns n_burn RNG draws first (chat parity).
+    Returns (first_token i32, k, v, rng_hi, rng_lo).
+    """
+    kv_rows = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
+    vv_rows = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+    from qwen3_tpu.models.qwen3 import forward_impl
+
+    logits, kr, vr = forward_impl(params, cfg, tokens[None, :], kv_rows,
+                                  vv_rows, jnp.int32(0), mode=mode,
+                                  all_logits=True)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kr, slot, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vr, slot, axis=1)
+    last = jnp.take_along_axis(
+        logits[0], (n_valid - 1)[None, None], axis=0)[0]   # [V]
+
+    def burn(_, s):
+        hi, lo, _c = xorshift_coin_device(s[0], s[1])
+        return (hi, lo)
+
+    rng_hi, rng_lo = jax.lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
+    hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
+    tok = sample_tokens(last[None, :], coin[None], temperature, top_p,
+                        greedy=greedy)
+    return tok[0], k_cache, v_cache, hi, lo
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str | bytes
+    seed: int = 0
+    max_tokens: Optional[int] = None
+    stream_cb: Optional[Callable[[bytes], None]] = None
+    # filled by the engine:
+    rid: int = -1
+    prompt_ids: list = dataclasses.field(default_factory=list)
+    out_ids: list = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Optional[Request] = None
+
+
+class BatchedEngine:
+    """Continuous-batching server over a fixed slot pool."""
+
+    def __init__(self, path: str, *, max_batch: int = 8, seq_len: int = 1024,
+                 mode: str = "bf16", temperature: float = 1.0,
+                 top_p: float = 0.9, kv_dtype: str = "float32",
+                 prefill_bucket: int = 128, decode_chunk: int = 32):
+        self.tokenizer = Tokenizer.from_file(path)
+        weights = load_checkpoint(path)
+        self.cfg: ModelConfig = weights.config.with_seq_len(seq_len)
+        self.mode = mode
+        self.params = init_params(weights, mode=mode,
+                                  max_seq_len=self.cfg.seq_len)
+        self.max_batch = max_batch
+        self.temperature = clamp_temperature(temperature)
+        self.top_p = clamp_top_p(top_p)
+        self.greedy = self.temperature <= _GREEDY_EPS
+        self.prefill_bucket = prefill_bucket
+        self.decode_chunk = decode_chunk
+
+        B = max_batch
+        self._kv = init_kv_cache(self.cfg, B, self.cfg.seq_len,
+                                 jnp.dtype(kv_dtype))
+        self._token = jnp.zeros((B,), jnp.int32)
+        self._pos = jnp.zeros((B,), jnp.int32)
+        self._limit = np.zeros((B,), np.int32)
+        self._done = jnp.ones((B,), jnp.bool_)
+        self._rng_hi = jnp.zeros((B,), jnp.uint32)
+        self._rng_lo = jnp.zeros((B,), jnp.uint32)
+        self._slots = [_Slot() for _ in range(B)]
+        self._queue: list[Request] = []
+        self._next_rid = 0
+
+    # -- API -------------------------------------------------------------
+
+    def submit(self, req: Request) -> Request:
+        req.rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(req)
+        return req
+
+    def run(self) -> list[Request]:
+        """Run until every submitted request finishes; returns them."""
+        finished: list[Request] = []
+        while self._queue or any(s.req for s in self._slots):
+            self._admit()
+            finished.extend(self._step())
+        return finished
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self) -> None:
+        for b, slot in enumerate(self._slots):
+            if slot.req is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            ids = self.tokenizer.encode(req.prompt)
+            if not ids:
+                req.finished = True
+                continue
+            bucket = self.prefill_bucket
+            while bucket < len(ids):
+                bucket *= 2
+            bucket = min(bucket, self.cfg.seq_len)
+            ids = ids[:bucket]
+            req.prompt_ids = ids
+            padded = ids + [0] * (bucket - len(ids))
+
+            hi0, lo0 = seed_to_device(req.seed)
+            tok, k, v, hi, lo = prefill_into_slot(
+                self.params, self._kv[0], self._kv[1],
+                jnp.asarray(padded, jnp.int32), jnp.int32(len(ids)),
+                jnp.int32(b), hi0, lo0, jnp.int32(0),
+                cfg=self.cfg, mode=self.mode, temperature=self.temperature,
+                top_p=self.top_p, greedy=self.greedy)
+            self._kv = (k, v)
+            self._token = self._token.at[b].set(tok)
+            self._pos = self._pos.at[b].set(len(ids))
+            limit = self.cfg.seq_len
+            if req.max_tokens is not None:
+                limit = min(limit, len(ids) + req.max_tokens)
+            self._limit[b] = limit
+            self._done = self._done.at[b].set(False)
+            self._rng_hi = self._rng_hi.at[b].set(hi)
+            self._rng_lo = self._rng_lo.at[b].set(lo)
+            slot.req = req
+
+    def _step(self) -> list[Request]:
+        """One batched decode chunk; returns requests finished this chunk."""
+        if not any(s.req for s in self._slots):
+            return []
+        packed, k, v, tok, pos, done, hi, lo = batched_decode_chunk(
+            self.params, self._kv[0], self._kv[1], self._token, self._pos,
+            jnp.asarray(self._limit), self._done, self._rng_hi, self._rng_lo,
+            cfg=self.cfg, mode=self.mode, chunk=self.decode_chunk,
+            temperature=self.temperature, top_p=self.top_p,
+            greedy=self.greedy, bos=self.tokenizer.special.bos,
+            eos=self.tokenizer.special.eos)
+        self._kv = (k, v)
+        self._token, self._pos, self._done = tok, pos, done
+        self._rng_hi, self._rng_lo = hi, lo
+
+        arr = np.asarray(packed)        # single host fetch
+        finished = []
+        for b, slot in enumerate(self._slots):
+            req = slot.req
+            if req is None:
+                continue
+            toks = [int(t) for t in arr[b, :self.decode_chunk] if t >= 0]
+            if toks:
+                req.out_ids.extend(toks)
+                if req.stream_cb:
+                    req.stream_cb(self.tokenizer.decode(toks))
+            if bool(arr[b, -1]):
+                req.finished = True
+                finished.append(req)
+                slot.req = None
+        return finished
