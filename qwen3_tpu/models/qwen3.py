@@ -123,9 +123,12 @@ def init_params(w: Q8Weights, mode: str = "bf16",
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,
-                  dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
-    shape = (cfg.n_layers, batch, seq_len, cfg.n_kv_heads, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+                  dtype=jnp.float32):
+    """(k_cache, v_cache): plain arrays for float dtypes, (values, scales)
+    tuples for int8 (see runtime/kvcache.py)."""
+    from qwen3_tpu.runtime import kvcache
+
+    return kvcache.init_kv_cache(cfg, batch, seq_len, dtype)
 
 
 def _embed(p: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -190,11 +193,17 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         a, b = v[..., :half], v[..., half:]
         return jnp.concatenate([a * cos - b * sin, a * sin + b * cos], axis=-1)
 
+    from qwen3_tpu.runtime import kvcache as kvc
+
+    k_vals, k_sc = kvc.split(k_cache)
+    v_vals, v_sc = kvc.split(v_cache)
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
-        "k_cache": k_cache, "v_cache": v_cache,
+        "k_cache": k_vals, "v_cache": v_vals,
     }
+    if k_sc is not None:
+        layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
     for name in _LAYER_MATS:
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
@@ -212,21 +221,33 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
 
-        kc = lax.dynamic_update_slice(
-            xs["k_cache"], k.astype(xs["k_cache"].dtype), (0, start_pos, 0, 0))
-        vc = lax.dynamic_update_slice(
-            xs["v_cache"], v.astype(xs["v_cache"].dtype), (0, start_pos, 0, 0))
+        k_enc, k_es = kvc.encode_block(xs["k_cache"], k)
+        v_enc, v_es = kvc.encode_block(xs["v_cache"], v)
+        kc = lax.dynamic_update_slice(xs["k_cache"], k_enc,
+                                      (0, start_pos, 0, 0))
+        vc = lax.dynamic_update_slice(xs["v_cache"], v_enc,
+                                      (0, start_pos, 0, 0))
+        ys = {"k_cache": kc, "v_cache": vc}
+        ks = vs = None
+        if k_es is not None:
+            ks = lax.dynamic_update_slice(xs["k_scale"], k_es,
+                                          (0, start_pos, 0))
+            vs = lax.dynamic_update_slice(xs["v_scale"], v_es,
+                                          (0, start_pos, 0))
+            ys["k_scale"], ys["v_scale"] = ks, vs
 
-        att = gqa_attention(q, kc, vc, positions)  # [B, T, H, D] fp32
+        att = gqa_attention(q, kc, vc, positions, ks, vs)  # [B,T,H,D] fp32
         x = x + linear(att.reshape(B, T, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
         gate = linear(h, lw("w1"))
         up = linear(h, lw("w3"))
         x = x + linear(swiglu(gate, up), lw("w2"))
-        return x, (kc, vc)
+        return x, ys
 
-    x, (new_k, new_v) = lax.scan(body, x, layer_xs)
+    x, ys = lax.scan(body, x, layer_xs)
+    new_k = kvc.join(ys["k_cache"], ys.get("k_scale"))
+    new_v = kvc.join(ys["v_cache"], ys.get("v_scale"))
 
     x = rmsnorm(x, p["out_norm"])
     if not all_logits:
@@ -264,11 +285,17 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         a, b = v[..., :half], v[..., half:]
         return jnp.concatenate([a * cos - b * sin, a * sin + b * cos], axis=-1)
 
+    from qwen3_tpu.runtime import kvcache as kvc
+
+    k_vals, k_sc = kvc.split(k_cache)
+    v_vals, v_sc = kvc.split(v_cache)
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
-        "k_cache": k_cache, "v_cache": v_cache,
+        "k_cache": k_vals, "v_cache": v_vals,
     }
+    if k_sc is not None:
+        layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
     for name in _LAYER_MATS:
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
@@ -286,20 +313,28 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
 
-        kc = xs["k_cache"].at[rows, positions].set(
-            k[:, 0].astype(xs["k_cache"].dtype))
-        vc = xs["v_cache"].at[rows, positions].set(
-            v[:, 0].astype(xs["v_cache"].dtype))
+        k_enc, k_es = kvc.encode_block(xs["k_cache"], k[:, 0])
+        v_enc, v_es = kvc.encode_block(xs["v_cache"], v[:, 0])
+        kc = xs["k_cache"].at[rows, positions].set(k_enc)
+        vc = xs["v_cache"].at[rows, positions].set(v_enc)
+        ys = {"k_cache": kc, "v_cache": vc}
+        ks = vs = None
+        if k_es is not None:
+            ks = xs["k_scale"].at[rows, positions].set(k_es)
+            vs = xs["v_scale"].at[rows, positions].set(v_es)
+            ys["k_scale"], ys["v_scale"] = ks, vs
 
-        att = gqa_attention_per_slot(q[:, 0], kc, vc, positions)  # [B, H, D]
+        att = gqa_attention_per_slot(q[:, 0], kc, vc, positions, ks, vs)
         x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
         x = x + linear(swiglu(linear(h, lw("w1")), linear(h, lw("w3"))),
                        lw("w2"))
-        return x, (kc, vc)
+        return x, ys
 
-    x, (new_k, new_v) = lax.scan(body, x, layer_xs)
+    x, ys = lax.scan(body, x, layer_xs)
+    new_k = kvc.join(ys["k_cache"], ys.get("k_scale"))
+    new_v = kvc.join(ys["v_cache"], ys.get("v_scale"))
     x = rmsnorm(x, p["out_norm"])
     logits = linear(x, _layer_weights(p, mode, "cls"))
     return logits[:, 0], new_k, new_v

@@ -28,9 +28,15 @@ def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _deq(cache: jnp.ndarray, scales) -> jnp.ndarray:
+    """fp32 view of the cache; int8 caches carry per-(pos, head) scales."""
+    f = cache.astype(jnp.float32)
+    return f if scales is None else f * scales[..., None]
+
+
 def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
-                           v_cache: jnp.ndarray,
-                           positions: jnp.ndarray) -> jnp.ndarray:
+                           v_cache: jnp.ndarray, positions: jnp.ndarray,
+                           k_s=None, v_s=None) -> jnp.ndarray:
     """Single-token GQA attention with a distinct position per batch slot.
 
     q: [B, H, D]; k/v_cache: [B, S, KV, D]; positions: [B] int32.
@@ -41,8 +47,8 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
     M = H // KV
 
     qf = q.astype(jnp.float32).reshape(B, KV, M, D)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    kf = _deq(k_cache, k_s)
+    vf = _deq(v_cache, v_s)
 
     scores = jnp.einsum(
         "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
@@ -57,13 +63,14 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
 
 
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                  q_positions: jnp.ndarray) -> jnp.ndarray:
+                  q_positions: jnp.ndarray, k_s=None, v_s=None) -> jnp.ndarray:
     """Dense masked GQA attention against the full cache.
 
     q:           [B, T, H, D] (any float dtype; math in fp32)
     k/v_cache:   [B, S, KV, D]
     q_positions: [T] int32 — absolute position of each query row; a cache slot
                  s attends iff s <= q_positions[t] (causal over the cache).
+    k_s/v_s:     optional [B, S, KV] f32 scales for int8 caches.
 
     Returns [B, T, H, D] fp32.
     """
@@ -72,8 +79,8 @@ def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     M = H // KV  # kv_mul
 
     qf = q.astype(jnp.float32).reshape(B, T, KV, M, D)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    kf = _deq(k_cache, k_s)
+    vf = _deq(v_cache, v_s)
 
     # scores[b, t, k, m, s] — force true fp32 MXU passes (TPU einsum defaults
     # to bf16 inputs at default precision, which breaks reference parity)

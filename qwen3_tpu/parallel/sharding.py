@@ -75,8 +75,11 @@ def param_partition_specs(mode: str = "bf16") -> dict[str, P]:
     return specs
 
 
-def kv_partition_spec() -> P:
-    """KV cache [L, B, S, KV, HD]: batch over dp, kv heads over tp."""
+def kv_partition_spec(rank: int = 5) -> P:
+    """KV cache [L, B, S, KV, HD]: batch over dp, kv heads over tp.
+    int8 caches carry rank-4 scale arrays [L, B, S, KV]."""
+    if rank == 4:
+        return P(None, "dp", None, "tp")
     return P(None, "dp", None, "tp", None)
 
 
@@ -89,5 +92,7 @@ def shard_params(params: dict, mesh: Mesh, mode: str = "bf16") -> dict:
 
 
 def shard_kv_cache(kv: tuple, mesh: Mesh) -> tuple:
-    s = NamedSharding(mesh, kv_partition_spec())
-    return tuple(jax.device_put(x, s) for x in kv)
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, kv_partition_spec(x.ndim))),
+        kv)

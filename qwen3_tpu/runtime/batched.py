@@ -96,7 +96,7 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
         # wasted work but keep shapes static); clamp their write position
         # into range — the overwritten slot belongs to a finished stream and
         # is re-prefilled before any reuse
-        S = c.k_cache.shape[2]
+        S = jax.tree.leaves(c.k_cache)[0].shape[2]
         write_pos = jnp.minimum(c.pos, S - 1)
         logits, kc, vc = decode_forward_impl(
             params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode)
@@ -139,15 +139,19 @@ def prefill_into_slot(params, k_cache, v_cache, tokens, n_valid, slot,
     overwrites before reading. Burns n_burn RNG draws first (chat parity).
     Returns (first_token i32, k, v, rng_hi, rng_lo).
     """
-    kv_rows = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
-    vv_rows = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
     from qwen3_tpu.models.qwen3 import forward_impl
+
+    take_row = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+    put_row = lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+        full, part, slot, axis=1)
+    kv_rows = jax.tree.map(take_row, k_cache)
+    vv_rows = jax.tree.map(take_row, v_cache)
 
     logits, kr, vr = forward_impl(params, cfg, tokens[None, :], kv_rows,
                                   vv_rows, jnp.int32(0), mode=mode,
                                   all_logits=True)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kr, slot, axis=1)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vr, slot, axis=1)
+    k_cache = jax.tree.map(put_row, k_cache, kr)
+    v_cache = jax.tree.map(put_row, v_cache, vr)
     last = jnp.take_along_axis(
         logits[0], (n_valid - 1)[None, None], axis=0)[0]   # [V]
 

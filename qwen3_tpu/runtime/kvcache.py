@@ -1,0 +1,78 @@
+"""KV cache with optional int8 quantization.
+
+The reference keeps a dense fp32 cache `n_layers x seq_len x kv_dim` x2
+(src/model.c:360-361). Here each cache side (K or V) is either
+
+- a plain array [L, B, S, KV, HD] in float32/bfloat16, or
+- a tuple (values int8 [L, B, S, KV, HD], scales f32 [L, B, S, KV]) with a
+  symmetric per-(position, head) absmax scale over head_dim — the Q8_0 recipe
+  applied to cache rows, dequantized on the fly at the attention read.
+
+int8 quarters cache bytes vs. the reference's fp32, which directly speeds up
+bandwidth-bound long-context decode and quadruples KV capacity per chip. The
+tuple representation is an ordinary pytree, so jit/scan/while_loop/donation
+and sharding all compose without special cases.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from qwen3_tpu.config import ModelConfig
+
+Q8_MAX = 127.0
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,
+                  dtype=jnp.float32):
+    """Returns (k_cache, v_cache); each is an array or an int8 (q, s) tuple."""
+    dtype = jnp.dtype(dtype)
+    shape = (cfg.n_layers, batch, seq_len, cfg.n_kv_heads, cfg.head_dim)
+
+    def one():
+        if dtype == jnp.int8:
+            return (jnp.zeros(shape, jnp.int8),
+                    jnp.ones(shape[:-1], jnp.float32))
+        return jnp.zeros(shape, dtype)
+
+    return one(), one()
+
+
+def split(cache):
+    """-> (values, scales_or_None)."""
+    if isinstance(cache, tuple):
+        return cache
+    return cache, None
+
+
+def join(values, scales):
+    return values if scales is None else (values, scales)
+
+
+def storage_dtype(cache):
+    return split(cache)[0].dtype
+
+
+def quantize_heads(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization over the last axis (head_dim)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.where(amax == 0.0, jnp.float32(1e-6), amax / Q8_MAX)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -Q8_MAX, Q8_MAX).astype(jnp.int8)
+    return q, s
+
+
+def encode_block(cache_values: jnp.ndarray, x: jnp.ndarray):
+    """Convert a new K/V block to the cache's storage representation.
+
+    Returns (values, scales_or_None)."""
+    if cache_values.dtype == jnp.int8:
+        return quantize_heads(x)
+    return x.astype(cache_values.dtype), None
+
+
+def dequant(values: jnp.ndarray, scales) -> jnp.ndarray:
+    """fp32 view of (a slice of) the cache."""
+    if scales is None:
+        return values.astype(jnp.float32)
+    return values.astype(jnp.float32) * scales[..., None]
