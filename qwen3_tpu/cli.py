@@ -98,7 +98,7 @@ def main(argv=None) -> int:
     ap.add_argument("-i", default=None)
     ap.add_argument("-y", default=None)
     ap.add_argument("-r", type=int, default=1)
-    ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16"])
+    ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas"])
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)
