@@ -69,11 +69,16 @@ def load_tokenizer_bin(path: str) -> TokenizerData:
     return TokenizerData(tokens=tokens, scores=scores, special=special, max_len=max_len)
 
 
+def dumps_tokenizer_bin(t: TokenizerData) -> bytes:
+    parts = [struct.pack("<Iiii", QTKN_MAGIC, QTKN_VERSION,
+                         t.vocab_size, t.max_len),
+             struct.pack("<10i", *t.special.as_tuple())]
+    for tok, score in zip(t.tokens, t.scores):
+        parts.append(struct.pack("<fi", score, len(tok)))
+        parts.append(tok)
+    return b"".join(parts)
+
+
 def write_tokenizer_bin(path: str, t: TokenizerData) -> None:
     with open(path, "wb") as f:
-        f.write(struct.pack("<Iiii", QTKN_MAGIC, QTKN_VERSION,
-                            t.vocab_size, t.max_len))
-        f.write(struct.pack("<10i", *t.special.as_tuple()))
-        for tok, score in zip(t.tokens, t.scores):
-            f.write(struct.pack("<fi", score, len(tok)))
-            f.write(tok)
+        f.write(dumps_tokenizer_bin(t))

@@ -20,12 +20,13 @@ base/special/pad tokens, still above the C scan's -1e10 sentinel).
 from __future__ import annotations
 
 import heapq
+import os
 
 from qwen3_tpu.io.tokenizer_bin import TokenizerData, load_tokenizer_bin
 
 
 class Tokenizer:
-    def __init__(self, data: TokenizerData):
+    def __init__(self, data: TokenizerData, use_native: bool | None = None):
         self._data = data
         self.tokens = data.tokens
         self.scores = data.scores
@@ -36,6 +37,15 @@ class Tokenizer:
         self._vocab: dict[bytes, int] = {}
         for i, tok in enumerate(data.tokens):
             self._vocab.setdefault(tok, i)
+        # optional native C++ encode core (identical semantics, much faster)
+        self._native = None
+        if use_native is None:
+            use_native = os.environ.get("QWEN3_TPU_NATIVE_TOKENIZER", "1") == "1"
+        if use_native:
+            from qwen3_tpu.io.tokenizer_bin import dumps_tokenizer_bin
+            from qwen3_tpu.tokenizer.native import load_native
+
+            self._native = load_native(dumps_tokenizer_bin(data))
 
     @classmethod
     def from_file(cls, path: str) -> "Tokenizer":
@@ -136,5 +146,12 @@ class Tokenizer:
         return out
 
     def encode(self, text: str | bytes) -> list[int]:
+        data = text.encode("utf-8") if isinstance(text, str) else text
+        if self._native is not None:
+            return self._native.encode(data)
+        return self._merge(self._pre_tokenize(data))
+
+    def encode_python(self, text: str | bytes) -> list[int]:
+        """Pure-Python encode path (native cross-check / fallback)."""
         data = text.encode("utf-8") if isinstance(text, str) else text
         return self._merge(self._pre_tokenize(data))

@@ -90,3 +90,24 @@ def test_duplicate_token_first_id_wins(tiny_tok):
     data.tokens[400] = dup_target  # introduce duplicate at higher id
     t = Tokenizer(data)
     assert t.token_to_id(dup_target) == 300
+
+
+def test_native_matches_python(tok, rng):
+    """Native C++ encode core must agree with the Python implementation."""
+    from qwen3_tpu.io.tokenizer_bin import dumps_tokenizer_bin
+    from qwen3_tpu.tokenizer.native import load_native
+
+    native = load_native(dumps_tokenizer_bin(tok._data))
+    if native is None:
+        import pytest
+        pytest.skip("native tokenizer unavailable (no g++)")
+    assert native.vocab_size == tok.vocab_size
+    texts = ["the cat in the hat", "<|im_start|>user\nhi<|im_end|>",
+             "héllo wörld", "a < b > c", "<think>\n\n</think>\n", ""]
+    alphabet = b"the and in on er at reding \n<>|"
+    for seed in range(6):
+        r = __import__("numpy").random.default_rng(seed)
+        n = int(r.integers(1, 300))
+        texts.append(bytes(r.choice(list(alphabet), size=n).tolist()))
+    for text in texts:
+        assert native.encode(text) == tok.encode_python(text), text
