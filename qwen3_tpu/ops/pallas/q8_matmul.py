@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
-            compute_dtype):
+            compute_dtype, postscale: bool):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -34,11 +34,29 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     tk, td = wq_ref.shape
-    # dequantize the int8 tile: [TK, TD] -> grouped [TK/G, G, TD] * scales
-    w = wq_ref[:].astype(jnp.float32).reshape(tk // group_size, group_size, td)
-    w = (w * ws_ref[:][:, None, :]).reshape(tk, td).astype(compute_dtype)
-    out_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
-                          preferred_element_type=jnp.float32)
+    # f32 "dots" inside Mosaic default to bf16 passes; be explicit
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if postscale:
+        # scale applied per group AFTER the dot: fewer VPU ops (B*TD per
+        # group instead of TK*TD) and exact int8 weights on the MXU
+        xb = x_ref[:].astype(compute_dtype)
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        g = group_size
+        for i in range(tk // g):
+            dot = jnp.dot(xb[:, i * g:(i + 1) * g],
+                          wq_ref[i * g:(i + 1) * g, :].astype(compute_dtype),
+                          preferred_element_type=jnp.float32, precision=prec)
+            acc = acc + dot * ws_ref[i, :][None, :]
+        out_ref[:] += acc
+    else:
+        # dequantize the int8 tile: [TK, TD] grouped [TK/G, G, TD] * scales
+        w = wq_ref[:].astype(jnp.float32).reshape(
+            tk // group_size, group_size, td)
+        w = (w * ws_ref[:][:, None, :]).reshape(tk, td).astype(compute_dtype)
+        out_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
 
 
 def _pick_tile(n: int, quantum: int, cap: int) -> int:
@@ -56,11 +74,11 @@ def _pick_tile(n: int, quantum: int, cap: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "block_k", "block_d", "interpret",
-                     "compute_dtype"),
+                     "compute_dtype", "postscale"),
 )
 def q8_matmul_pallas(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray,
                      group_size: int, block_k: int = 512, block_d: int = 512,
-                     compute_dtype=jnp.float32,
+                     compute_dtype=jnp.float32, postscale: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """x [..., n] @ dequant(w_q [n, d], w_s [n/G, d]) -> [..., d] fp32."""
     *lead, n = x.shape
@@ -76,8 +94,10 @@ def q8_matmul_pallas(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray,
     grid = (d // td, n // tk)
     out = pl.pallas_call(
         functools.partial(_kernel, group_size=group_size,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, postscale=postscale),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         in_specs=[
             pl.BlockSpec((b, tk), lambda j, k: (0, k),
                          memory_space=pltpu.VMEM),
