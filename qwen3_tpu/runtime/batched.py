@@ -63,13 +63,13 @@ class BatchCarry(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos"),
+                     "greedy", "bos", "eos", "top_k"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
                          rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
                          temperature: float, top_p: float, greedy: bool,
-                         bos: int, eos: int):
+                         bos: int, eos: int, top_k: int = 0):
     """Up to `chunk` decode steps over all live slots.
 
     token/pos/limit/done/rng_*: per-slot [B] arrays. A slot stops emitting at
@@ -101,7 +101,8 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
         logits, kc, vc = decode_forward_impl(
             params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
-        nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy)
+        nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy,
+                            top_k_hint=top_k)
 
         # frozen slots keep token/pos/rng; live slots advance
         token_n = jnp.where(newly_done, c.token, nxt)
@@ -190,7 +191,8 @@ class BatchedEngine:
     def __init__(self, path: str, *, max_batch: int = 8, seq_len: int = 1024,
                  mode: str = "bf16", temperature: float = 1.0,
                  top_p: float = 0.9, kv_dtype: str = "float32",
-                 prefill_bucket: int = 128, decode_chunk: int = 32):
+                 prefill_bucket: int = 128, decode_chunk: int = 32,
+                 top_k: int = 64):
         self.tokenizer = Tokenizer.from_file(path)
         weights = load_checkpoint(path)
         self.cfg: ModelConfig = weights.config.with_seq_len(seq_len)
@@ -203,6 +205,7 @@ class BatchedEngine:
         self.greedy = self.temperature <= _GREEDY_EPS
         self.prefill_bucket = prefill_bucket
         self.decode_chunk = decode_chunk
+        self.top_k = top_k
 
         B = max_batch
         self._kv = init_kv_cache(self.cfg, B, self.cfg.seq_len,
@@ -281,7 +284,7 @@ class BatchedEngine:
             cfg=self.cfg, mode=self.mode, chunk=self.decode_chunk,
             temperature=self.temperature, top_p=self.top_p,
             greedy=self.greedy, bos=self.tokenizer.special.bos,
-            eos=self.tokenizer.special.eos)
+            eos=self.tokenizer.special.eos, top_k=self.top_k)
         self._kv = (k, v)
         self._token, self._pos, self._done = tok, pos, done
         self._rng_hi, self._rng_lo = hi, lo

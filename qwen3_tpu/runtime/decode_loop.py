@@ -44,13 +44,14 @@ class DecodeCarry(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos", "emit_at_limit"),
+                     "greedy", "bos", "eos", "emit_at_limit", "top_k"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def decode_chunk(params, k_cache, v_cache, token, pos, limit,
                  rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
                  temperature: float, top_p: float, greedy: bool,
-                 bos: int, eos: int, emit_at_limit: bool = False):
+                 bos: int, eos: int, emit_at_limit: bool = False,
+                 top_k: int = 0):
     """Generate up to `chunk` tokens fully on device (B=1).
 
     token: i32 [1] — current sampled-but-unemitted token.
@@ -83,7 +84,7 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
                 c.pos, mode=mode)
             hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
             nxt = sample_tokens(logits[:, 0], coin[None], temperature,
-                                top_p, greedy=greedy)
+                                top_p, greedy=greedy, top_k_hint=top_k)
             return nxt, c.pos + 1, hi, lo, kc, vc
 
         def nofwd(c: DecodeCarry):
@@ -108,9 +109,9 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("temperature", "top_p", "greedy"))
+    jax.jit, static_argnames=("temperature", "top_p", "greedy", "top_k"))
 def burn_and_sample(logits, rng_hi, rng_lo, n_burn, *, temperature: float,
-                    top_p: float, greedy: bool):
+                    top_p: float, greedy: bool, top_k: int = 0):
     """Advance the RNG `n_burn` draws (the reference chat loop burns one draw
     per prompt token, src/completion.c:318-323), then draw once and sample the
     first token from the prefill logits. Returns (token [1] i32, hi, lo)."""
@@ -122,5 +123,5 @@ def burn_and_sample(logits, rng_hi, rng_lo, n_burn, *, temperature: float,
     rng_hi, rng_lo = jax.lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
     hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
     tok = sample_tokens(logits[None, :], coin[None], temperature, top_p,
-                        greedy=greedy)
+                        greedy=greedy, top_k_hint=top_k)
     return tok, hi, lo

@@ -47,6 +47,7 @@ class EngineConfig:
     kv_dtype: str = "float32"
     prefill_chunk: int = 64
     decode_chunk: int = 32         # tokens generated per device dispatch
+    top_k: int = 64                # top-k fast path for nucleus sampling (0=off)
     batch: int = 1
 
 
@@ -120,7 +121,7 @@ class Engine:
         tok, hi, lo = burn_and_sample(
             logits[0], hi, lo, jnp.int32(n_burn),
             temperature=self.sampler.temperature, top_p=self.sampler.top_p,
-            greedy=self.greedy)
+            greedy=self.greedy, top_k=self.cfg.top_k)
         self._rng = (hi, lo)
         return tok
 
@@ -139,7 +140,7 @@ class Engine:
                 temperature=self.sampler.temperature,
                 top_p=self.sampler.top_p, greedy=self.greedy,
                 bos=t.special.bos, eos=t.special.eos,
-                emit_at_limit=emit_at_limit)
+                emit_at_limit=emit_at_limit, top_k=self.cfg.top_k)
             arr = np.asarray(packed)  # the one host sync per chunk
             n, done = int(arr[-2]), bool(arr[-1])
             self._kv = (k, v)

@@ -95,9 +95,30 @@ class Sampler:
         return self.rng.next_float()
 
 
+def _nucleus_pick(order: jnp.ndarray, sp: jnp.ndarray, coin: jnp.ndarray,
+                  top_p: float, default_idx) -> jnp.ndarray:
+    """Shared truncation + inverse-CDF over descending (order, probs)."""
+    cum = jnp.cumsum(sp, axis=-1, dtype=jnp.float32)
+    exceeded = cum > jnp.float32(top_p)
+    has_break = jnp.any(exceeded, axis=-1)
+    idx = jnp.where(has_break, jnp.argmax(exceeded, axis=-1), default_idx)
+    mass = jnp.take_along_axis(cum, idx[:, None], axis=-1)[:, 0]
+    mass = jnp.where(mass < _HEAL_EPS, mass + mass, mass)
+
+    r = coin.astype(jnp.float32) * mass
+    n = sp.shape[-1]
+    in_prefix = jnp.arange(n, dtype=jnp.int32)[None, :] <= idx[:, None]
+    hit = (r[:, None] < cum) & in_prefix
+    has_hit = jnp.any(hit, axis=-1)
+    pick = jnp.where(has_hit, jnp.argmax(hit, axis=-1), idx - 1)
+    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(
+        jnp.int32
+    )
+
+
 def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
                   temperature: float, top_p: float,
-                  greedy: bool = False) -> jnp.ndarray:
+                  greedy: bool = False, top_k_hint: int = 0) -> jnp.ndarray:
     """Functional batched nucleus sampling (traceable inside loops).
 
     logits: [B, V] fp32, coin: [B] fp32 in [0,1). Returns [B] int32 token ids.
@@ -105,6 +126,12 @@ def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
     full sort is skipped and argmax is returned (equivalent to the epsilon-
     temperature path for non-tied logits; the reference resolves exact fp32
     ties by coin flip, argmax by lowest id).
+
+    `top_k_hint` > 0 enables the fast path: if the top-k prefix already
+    exceeds top_p, the nucleus is fully contained in it and sampling over the
+    k candidates is *exact*; otherwise fall back to the full-vocab sort
+    (lax.cond, paid only when taken). Peaked real-model distributions almost
+    always hit the fast path.
     """
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -112,24 +139,24 @@ def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
     x = logits.astype(jnp.float32) / jnp.float32(temperature)
     probs = jax.nn.softmax(x, axis=-1)
 
-    order = jnp.argsort(-probs, axis=-1, stable=True)
-    sp = jnp.take_along_axis(probs, order, axis=-1)
-    cum = jnp.cumsum(sp, axis=-1, dtype=jnp.float32)
+    def full_sort(probs_coin):
+        probs, coin = probs_coin
+        order = jnp.argsort(-probs, axis=-1, stable=True)
+        sp = jnp.take_along_axis(probs, order, axis=-1)
+        return _nucleus_pick(order, sp, coin, top_p, V - 1)
 
-    exceeded = cum > jnp.float32(top_p)
-    has_break = jnp.any(exceeded, axis=-1)
-    idx = jnp.where(has_break, jnp.argmax(exceeded, axis=-1), V - 1)  # [B]
-    mass = jnp.take_along_axis(cum, idx[:, None], axis=-1)[:, 0]
-    mass = jnp.where(mass < _HEAL_EPS, mass + mass, mass)
+    if not top_k_hint or top_k_hint >= V:
+        return full_sort((probs, coin))
 
-    r = coin.astype(jnp.float32) * mass
-    in_prefix = jnp.arange(V, dtype=jnp.int32)[None, :] <= idx[:, None]
-    hit = (r[:, None] < cum) & in_prefix
-    has_hit = jnp.any(hit, axis=-1)
-    pick = jnp.where(has_hit, jnp.argmax(hit, axis=-1), idx - 1)
-    return jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0].astype(
-        jnp.int32
-    )
+    k = top_k_hint
+    sp_k, order_k = jax.lax.top_k(probs, k)  # descending, ties by lower index
+    covered = jnp.sum(sp_k, axis=-1) > jnp.float32(max(top_p, _HEAL_EPS))
+
+    def fast(probs_coin):
+        _, coin = probs_coin
+        return _nucleus_pick(order_k, sp_k, coin, top_p, k - 1)
+
+    return jax.lax.cond(jnp.all(covered), fast, full_sort, (probs, coin))
 
 
 @functools.partial(jax.jit, static_argnames=("temperature", "top_p"))
