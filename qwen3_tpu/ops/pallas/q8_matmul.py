@@ -86,7 +86,10 @@ def q8_matmul_pallas(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray,
     xb = x.reshape(-1, n)
     b = xb.shape[0]
 
-    tk = _pick_tile(n, group_size, block_k)
+    # the scales block is (tk // G, td): Mosaic requires its sublane dim be a
+    # multiple of 8 (or the full dimension), so tk must be a multiple of 8*G
+    # unless it covers all of n
+    tk = _pick_tile(n, 8 * group_size, block_k)
     td = _pick_tile(d, 128, block_d)
     if d % td:  # pad output columns (caller slices or masks)
         raise ValueError(f"d={d} not divisible by td={td}")
