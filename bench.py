@@ -107,6 +107,36 @@ def measure_engine(ckpt: str) -> dict:
     return {"decode_tok_s": decode_tok_s, "prefill_tok_s": prefill_tok_s}
 
 
+def measure_batched(ckpt: str) -> float | None:
+    """Aggregate decode tok/s with continuous batching (BASELINE config #4,
+    scaled to one chip's HBM)."""
+    if os.environ.get("BENCH_SKIP_BATCHED") == "1":
+        return None
+    from qwen3_tpu.runtime.batched import BatchedEngine, Request
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    n_tok = int(os.environ.get("BENCH_BATCH_TOKENS", "64"))
+    eng = BatchedEngine(
+        ckpt, max_batch=batch, seq_len=512,
+        mode=os.environ.get("BENCH_QMODE", "bf16"), temperature=0.0,
+        kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32)
+
+    def run() -> float:
+        reqs = [eng.submit(Request(prompt=PROMPT + f" {i}", seed=i,
+                                   max_tokens=n_tok)) for i in range(batch)]
+        t0 = time.perf_counter()
+        eng.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.out_ids) for r in reqs)
+        return total / dt
+
+    log(f"batched: compiling (batch={batch})...")
+    run()  # compile + warm
+    tok_s = run()
+    log(f"batched decode: {tok_s:.1f} tok/s aggregate over {batch} streams")
+    return tok_s
+
+
 def build_reference() -> Path | None:
     ref_src = Path("/root/reference")
     if not ref_src.exists() or shutil.which("cmake") is None:
@@ -176,6 +206,11 @@ def measure_baseline(ckpt: str) -> float | None:
 def main() -> None:
     ckpt = ensure_artifacts()
     ours = measure_engine(ckpt)
+    try:
+        batched = measure_batched(ckpt)
+    except Exception as e:
+        log(f"batched bench failed: {e}")
+        batched = None
     baseline = None
     if os.environ.get("BENCH_SKIP_BASELINE") != "1":
         try:
@@ -189,6 +224,7 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "prefill_tok_s": round(ours["prefill_tok_s"], 1),
+        "batched_tok_s": round(batched, 1) if batched else None,
         "baseline_tok_s": round(baseline, 3) if baseline else None,
         "preset": PRESET, "ctx": CTX,
         "qmode": os.environ.get("BENCH_QMODE", "bf16"),
