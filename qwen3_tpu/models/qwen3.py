@@ -150,20 +150,20 @@ def _make_linear(mode: str, group_size: int):
 
         import jax as _jax
 
-        from qwen3_tpu.ops.pallas.q8_matmul import q8_matmul_pallas
+        from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_pallas
 
         interpret = _jax.default_backend() == "cpu"
         block_k = int(_os.environ.get("QWEN3_TPU_PALLAS_BK", "512"))
-        block_d = int(_os.environ.get("QWEN3_TPU_PALLAS_BD", "512"))
-        postscale = _os.environ.get("QWEN3_TPU_PALLAS_POSTSCALE", "0") == "1"
+        block_d = int(_os.environ.get("QWEN3_TPU_PALLAS_BD", "1024"))
 
+        # Reference-exact integer math: quantize activations per group
+        # (src/forward.c:259), then int8 x int8 group dots in the kernel.
         def linear(x, layer_w):
             w_q, w_s = layer_w
-            return q8_matmul_pallas(x, w_q, w_s, group_size,
-                                    block_k=block_k, block_d=block_d,
-                                    compute_dtype=jnp.bfloat16,
-                                    postscale=postscale,
-                                    interpret=interpret)
+            xq, xs = quantize_act(x, group_size)
+            return q8_q8_matmul_pallas(xq, xs, w_q, w_s, group_size,
+                                       block_k=block_k, block_d=block_d,
+                                       interpret=interpret)
     else:
         def linear(x, layer_w):
             (w_t,) = layer_w

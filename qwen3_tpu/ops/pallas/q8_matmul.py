@@ -59,6 +59,86 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
                               precision=prec)
 
 
+def _kernel_q8q8(xq_ref, xs_ref, wq_ref, ws_ref, out_ref, *,
+                 group_size: int):
+    """int8 x int8 kernel with reference-exact math (src/forward.c:88-97):
+    exact int32 dot per quantization group on the MXU int8 path, then fp32
+    scaling by x_scale * w_scale. VPU work is O(B * TD) per group (vs.
+    O(TK * TD) for dequant-cast kernels), so HBM streaming is the limit."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g                       # groups in this k tile
+    xs = xs_ref[:, pl.ds(pl.multiple_of(k * gpt, gpt), gpt)]  # [B, gpt] f32
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(gpt):
+        dot = jnp.dot(xq_ref[:, i * g:(i + 1) * g],
+                      wq_ref[i * g:(i + 1) * g, :],
+                      preferred_element_type=jnp.int32)       # exact int32
+        acc = acc + dot.astype(jnp.float32) * (
+            xs[:, i][:, None] * ws_ref[i, :][None, :])
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "block_d", "interpret"),
+)
+def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
+                        w_q: jnp.ndarray, w_s: jnp.ndarray,
+                        group_size: int, block_k: int = 512,
+                        block_d: int = 1024,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fully quantized matmul: int8 activations (+ per-group scales) x Q8_0
+    weights -> fp32, bit-equivalent to ops.quant_matmul.q8_matmul_exact.
+
+    x_q: int8 [..., n]; x_s: f32 [..., n/G]
+    w_q: int8 [n, d];   w_s: f32 [n/G, d]
+    """
+    *lead, n = x_q.shape
+    d = w_q.shape[1]
+    xb = x_q.reshape(-1, n)
+    sb = x_s.reshape(-1, n // group_size)
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    td = _pick_tile(d, 128, block_d)
+
+    grid = (d // td, n // tk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8q8, group_size=group_size),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, n // group_size), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, td), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // group_size, td), lambda j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d + b * n + 4 * b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xb, sb, w_q, w_s)
+    return out.reshape(*lead, d)
+
+
 def _pick_tile(n: int, quantum: int, cap: int) -> int:
     """Largest multiple of `quantum` dividing n, <= cap; falls back to n
     itself for small dims (Mosaic pads sub-tile blocks)."""

@@ -37,20 +37,42 @@ def test_kernel_3d_batch(rng):
     np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_mode_forward_close_to_bf16(tiny_weights, tiny_cfg):
-    """pallas mode (bf16 compute, fused dequant) must match the bf16 path
-    closely and produce the same greedy tokens on the tiny model."""
+def test_q8q8_kernel_matches_exact(rng):
+    """int8 x int8 kernel must be numerically equivalent to the exact jnp
+    path (same integer dots, fp32 scaling)."""
+    from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_pallas
+    from qwen3_tpu.ops.quant_matmul import q8_matmul_exact
+    from qwen3_tpu.ops.q8 import quantize_act
+
+    G, n, d = 32, 256, 128
+    wq = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
+    ws = (0.01 * (0.5 + rng.random((n // G, d)))).astype(np.float32)
+    x = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    xq, xs = quantize_act(jnp.asarray(x), G)
+
+    got = np.asarray(q8_q8_matmul_pallas(
+        xq, xs, jnp.asarray(wq), jnp.asarray(ws), G, interpret=True))
+    # the exact jnp path uses the untransposed [d, n] weight layout
+    want = np.asarray(q8_matmul_exact(
+        xq, xs, jnp.asarray(np.ascontiguousarray(wq.T)),
+        jnp.asarray(np.ascontiguousarray(ws.T)), G))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_mode_forward_matches_exact(tiny_weights, tiny_cfg):
+    """pallas mode now computes the reference-exact integer math — logits
+    must match exact mode tightly and share the greedy argmax."""
     cfg = tiny_cfg
     pp = init_params(tiny_weights, mode="pallas")
-    pb = init_params(tiny_weights, mode="bf16")
+    pe = init_params(tiny_weights, mode="exact")
     toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
 
     k, v = init_kv_cache(cfg, 1, 64)
     lg_p, _, _ = forward(pp, cfg, toks, k, v, jnp.int32(0),
                          mode="pallas", all_logits=True)
     k, v = init_kv_cache(cfg, 1, 64)
-    lg_b, _, _ = forward(pb, cfg, toks, k, v, jnp.int32(0),
-                         mode="bf16", all_logits=True)
-    a, b = np.asarray(lg_p), np.asarray(lg_b)
-    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+    lg_e, _, _ = forward(pe, cfg, toks, k, v, jnp.int32(0),
+                         mode="exact", all_logits=True)
+    a, b = np.asarray(lg_p), np.asarray(lg_e)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
