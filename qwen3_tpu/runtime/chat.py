@@ -60,6 +60,7 @@ class ChatSession:
         self.system_prompt = system_prompt
         self.pos = 0
         self.last_metrics: Optional[TurnMetrics] = None
+        self.last_stop: Optional[str] = None   # "eos" | "limit"
         engine.reset(batch=1)
 
     def send(self, user_text: str,
@@ -107,6 +108,7 @@ class ChatSession:
             yield piece
             n_tokens += len(toks)
         self.pos = int(eng._last_pos)
+        self.last_stop = "limit" if self.pos >= seq_len else "eos"
         t2 = time.perf_counter()
 
         self.last_metrics = TurnMetrics(

@@ -137,6 +137,30 @@ def test_seeded_sampled_completion_matches_c_prefix(ref_bin, artifacts):
     assert prefix >= len(prompt) + 20, (got, want)
 
 
+def test_greedy_multiturn_chat_matches_c(ref_bin, artifacts):
+    """Two consecutive greedy turns: validates multi-turn KV continuation,
+    per-turn RNG continuity and system-prompt-once semantics by comparing
+    the C binary's complete stdout byte stream against a reconstruction from
+    our ChatSession."""
+    users = ["hello there", "and er on"]
+    r = subprocess.run(
+        [str(ref_bin), artifacts, "-m", "chat", "-t", "0", "-p", "0.9",
+         "-s", "11", "-c", "128", "-y", "be brief"],
+        input=("\n".join(users) + "\n\n").encode(),
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode(errors="replace")
+
+    eng = make_engine(artifacts, temp=0.0, top_p=0.9, seed=11, ctx=128)
+    session = ChatSession(eng, system_prompt="be brief")
+    expected = b""
+    for u in users:
+        expected += b"\n> " + session.send(u).replace(b"\x00", b"")
+        if session.last_stop == "eos":
+            expected += b"\n"
+    expected += b"\n> "
+    assert r.stdout == expected
+
+
 def test_greedy_chat_turn_matches_c(ref_bin, artifacts):
     """Greedy chat (temp -> epsilon => argmax): template rendering, RNG-burn
     ordering, turn flow and stop handling must match the C binary exactly.
