@@ -34,6 +34,40 @@ def _deq(cache: jnp.ndarray, scales) -> jnp.ndarray:
     return f if scales is None else f * scales[..., None]
 
 
+def _bucket_sizes(s: int, smallest: int = 256) -> list[int]:
+    """Power-of-two prefix lengths up to S (always including S)."""
+    sizes = []
+    b = smallest
+    while b < s:
+        sizes.append(b)
+        b *= 2
+    sizes.append(s)
+    return sizes
+
+
+def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches):
+    """Dispatch `attend(sliced caches...)` over the smallest power-of-two
+    cache prefix covering `max_pos`.
+
+    Cache rows past the mask contribute exactly 0.0 to the masked softmax and
+    the value sum, so each branch is bit-identical to the full-S computation —
+    this only cuts HBM traffic (a decode step at position p reads ~p rows
+    instead of the full padded seq_len; the reference's O(pos) scan,
+    src/forward.c:156-165, gets the same effect for free from its loop bound).
+    """
+    sizes = _bucket_sizes(s)
+    if len(sizes) == 1:
+        return attend(*caches)
+
+    def branch(n):
+        def run():
+            return attend(*(None if c is None else c[:, :n] for c in caches))
+        return run
+
+    idx = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), max_pos + 1)
+    return jax.lax.switch(idx, [branch(n) for n in sizes])
+
+
 def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, positions: jnp.ndarray,
                            k_s=None, v_s=None) -> jnp.ndarray:
@@ -45,21 +79,25 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     M = H // KV
-
     qf = q.astype(jnp.float32).reshape(B, KV, M, D)
-    kf = _deq(k_cache, k_s)
-    vf = _deq(v_cache, v_s)
 
-    scores = jnp.einsum(
-        "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
-    ) / jnp.sqrt(jnp.float32(D))
-    mask = (jnp.arange(S, dtype=jnp.int32)[None, :]
-            <= positions[:, None])                       # [B, S]
-    probs = _masked_softmax(scores, mask[:, None, None, :])
-    out = jnp.einsum(
-        "bkms,bskd->bkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
-    )
-    return out.reshape(B, H, D)
+    def attend(kc, vc, ks, vs):
+        s = kc.shape[1]
+        kf = _deq(kc, ks)
+        vf = _deq(vc, vs)
+        scores = jnp.einsum(
+            "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+        ) / jnp.sqrt(jnp.float32(D))
+        mask = (jnp.arange(s, dtype=jnp.int32)[None, :]
+                <= positions[:, None])                   # [B, s]
+        probs = _masked_softmax(scores, mask[:, None, None, :])
+        out = jnp.einsum(
+            "bkms,bskd->bkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(B, H, D)
+
+    return _bucketed(attend, jnp.max(positions), S,
+                     (k_cache, v_cache, k_s, v_s))
 
 
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
@@ -79,20 +117,26 @@ def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     M = H // KV  # kv_mul
 
     qf = q.astype(jnp.float32).reshape(B, T, KV, M, D)
-    kf = _deq(k_cache, k_s)
-    vf = _deq(v_cache, v_s)
 
-    # scores[b, t, k, m, s] — force true fp32 MXU passes (TPU einsum defaults
-    # to bf16 inputs at default precision, which breaks reference parity)
-    scores = jnp.einsum(
-        "btkmd,bskd->btkms", qf, kf, precision=jax.lax.Precision.HIGHEST
-    ) / jnp.sqrt(jnp.float32(D))
-    mask = (
-        jnp.arange(S, dtype=jnp.int32)[None, :]
-        <= q_positions[:, None]
-    )  # [T, S]
-    probs = _masked_softmax(scores, mask[None, :, None, None, :])
-    out = jnp.einsum(
-        "btkms,bskd->btkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
-    )
-    return out.reshape(B, T, H, D)
+    def attend(kc, vc, ks, vs):
+        s = kc.shape[1]
+        kf = _deq(kc, ks)
+        vf = _deq(vc, vs)
+        # scores[b, t, k, m, s] — force true fp32 MXU passes (TPU einsum
+        # defaults to bf16 passes at default precision, which breaks
+        # reference parity)
+        scores = jnp.einsum(
+            "btkmd,bskd->btkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+        ) / jnp.sqrt(jnp.float32(D))
+        mask = (
+            jnp.arange(s, dtype=jnp.int32)[None, :]
+            <= q_positions[:, None]
+        )  # [T, s]
+        probs = _masked_softmax(scores, mask[None, :, None, None, :])
+        out = jnp.einsum(
+            "btkms,bskd->btkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(B, T, H, D)
+
+    return _bucketed(attend, jnp.max(q_positions), S,
+                     (k_cache, v_cache, k_s, v_s))

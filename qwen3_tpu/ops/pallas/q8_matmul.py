@@ -59,12 +59,16 @@ def _kernel(x_ref, wq_ref, ws_ref, out_ref, *, group_size: int,
                               precision=prec)
 
 
-def _kernel_q8q8(xq_ref, xs_ref, wq_ref, ws_ref, out_ref, *,
+def _kernel_q8q8(xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
                  group_size: int):
     """int8 x int8 kernel with reference-exact math (src/forward.c:88-97):
     exact int32 dot per quantization group on the MXU int8 path, then fp32
     scaling by x_scale * w_scale. VPU work is O(B * TD) per group (vs.
-    O(TK * TD) for dequant-cast kernels), so HBM streaming is the limit."""
+    O(TK * TD) for dequant-cast kernels), so HBM streaming is the limit.
+
+    xst_ref holds this k-tile's activation scales TRANSPOSED to [gpt, B]:
+    the per-tile slice must advance along a sublane (8-aligned) axis — Mosaic
+    rejects non-128-aligned dynamic offsets in the lane (minor) axis."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -74,7 +78,6 @@ def _kernel_q8q8(xq_ref, xs_ref, wq_ref, ws_ref, out_ref, *,
     tk, td = wq_ref.shape
     g = group_size
     gpt = tk // g                       # groups in this k tile
-    xs = xs_ref[:, pl.ds(pl.multiple_of(k * gpt, gpt), gpt)]  # [B, gpt] f32
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for i in range(gpt):
@@ -82,7 +85,7 @@ def _kernel_q8q8(xq_ref, xs_ref, wq_ref, ws_ref, out_ref, *,
                       wq_ref[i * g:(i + 1) * g, :],
                       preferred_element_type=jnp.int32)       # exact int32
         acc = acc + dot.astype(jnp.float32) * (
-            xs[:, i][:, None] * ws_ref[i, :][None, :])
+            xst_ref[i, :][:, None] * ws_ref[i, :][None, :])
     out_ref[:] += acc
 
 
@@ -96,7 +99,10 @@ def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
                         block_d: int = 1024,
                         interpret: bool = False) -> jnp.ndarray:
     """Fully quantized matmul: int8 activations (+ per-group scales) x Q8_0
-    weights -> fp32, bit-equivalent to ops.quant_matmul.q8_matmul_exact.
+    weights -> fp32. Group dot products are exact int32 (reference math,
+    src/forward.c:88-97); the fp32 scale application can differ from
+    ops.quant_matmul.q8_matmul_exact by reduction order (~1 ulp) on hardware,
+    bitwise-equal under CPU interpret.
 
     x_q: int8 [..., n]; x_s: f32 [..., n/G]
     w_q: int8 [n, d];   w_s: f32 [n/G, d]
@@ -104,11 +110,16 @@ def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
     *lead, n = x_q.shape
     d = w_q.shape[1]
     xb = x_q.reshape(-1, n)
-    sb = x_s.reshape(-1, n // group_size)
+    # scales transposed to [n/G, b]: the k-tile slice advances on the sublane
+    # axis (8-aligned), which Mosaic accepts — lane-axis offsets must be
+    # 128-aligned and gpt-sized steps are not
+    sbt = x_s.reshape(-1, n // group_size).T
     b = xb.shape[0]
 
     tk = _pick_tile(n, 8 * group_size, block_k)
     td = _pick_tile(d, 128, block_d)
+    assert n % tk == 0 and d % td == 0, (n, tk, d, td)
+    gpt = tk // group_size
 
     grid = (d // td, n // tk)
     out = pl.pallas_call(
@@ -119,7 +130,7 @@ def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((b, tk), lambda j, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, n // group_size), lambda j, k: (0, 0),
+            pl.BlockSpec((gpt, b), lambda j, k: (k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, td), lambda j, k: (k, j),
                          memory_space=pltpu.VMEM),
@@ -135,20 +146,22 @@ def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xb, sb, w_q, w_s)
+    )(xb, sbt, w_q, w_s)
     return out.reshape(*lead, d)
 
 
 def _pick_tile(n: int, quantum: int, cap: int) -> int:
-    """Largest multiple of `quantum` dividing n, <= cap; falls back to n
-    itself for small dims (Mosaic pads sub-tile blocks)."""
+    """Largest multiple of `quantum` dividing n, <= cap; falls back to the
+    whole axis when no such divisor exists (Mosaic pads sub-tile blocks).
+    The result ALWAYS divides n — a non-divisor tile would make the grid
+    silently drop the axis tail."""
     t = min(cap, n)
     t -= t % quantum
     while t >= quantum:
         if n % t == 0:
             return t
         t -= quantum
-    return n if n <= cap else quantum
+    return n
 
 
 @functools.partial(
@@ -171,8 +184,7 @@ def q8_matmul_pallas(x: jnp.ndarray, w_q: jnp.ndarray, w_s: jnp.ndarray,
     # unless it covers all of n
     tk = _pick_tile(n, 8 * group_size, block_k)
     td = _pick_tile(d, 128, block_d)
-    if d % td:  # pad output columns (caller slices or masks)
-        raise ValueError(f"d={d} not divisible by td={td}")
+    assert n % tk == 0 and d % td == 0, (n, tk, d, td)
 
     grid = (d // td, n // tk)
     out = pl.pallas_call(

@@ -143,3 +143,52 @@ def test_gqa_attention_causal_prefill(rng):
             jnp.asarray(q[:, t:t + 1]), jnp.asarray(kc), jnp.asarray(vc),
             jnp.asarray([t], np.int32)))
         np.testing.assert_allclose(got[:, t], row[:, 0], rtol=1e-6)
+
+
+def test_bucketed_attention_bit_identical():
+    """The power-of-two cache-prefix dispatch computes the same masked sums —
+    masked-out rows contribute exactly 0.0 — but XLA's fp32 reduction tree
+    depends on the static S, so results agree to ~1 ulp, not bitwise."""
+    from qwen3_tpu.ops import attention as att
+    rng = np.random.default_rng(7)
+    B, S, H, KV, D = 2, 2048, 4, 2, 8  # S large enough for several buckets
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((B, S, KV, D)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((B, S, KV, D)).astype(np.float32))
+
+    def full(kcc, vcc, ks, vs, positions):
+        # bypass bucketing by monkey-patched sizes
+        return att.gqa_attention_per_slot(q, kcc, vcc, positions, ks, vs)
+
+    for pos in (0, 1, 255, 256, 257, 1023, 1024, 2047):
+        positions = jnp.asarray([pos, max(pos - 3, 0)], jnp.int32)
+        got = np.asarray(att.gqa_attention_per_slot(q, kc, vc, positions))
+        # reference: slice nothing — force the single-bucket path
+        orig = att._bucket_sizes
+        att._bucket_sizes = lambda s, smallest=256: [s]
+        try:
+            want = np.asarray(att.gqa_attention_per_slot(q, kc, vc, positions))
+        finally:
+            att._bucket_sizes = orig
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_bucketed_attention_int8_scales():
+    from qwen3_tpu.ops import attention as att
+    rng = np.random.default_rng(8)
+    B, S, H, KV, D = 1, 1024, 4, 2, 8
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
+    kq = jnp.asarray(rng.integers(-127, 128, (B, S, KV, D)).astype(np.int8))
+    vq = jnp.asarray(rng.integers(-127, 128, (B, S, KV, D)).astype(np.int8))
+    ks = jnp.asarray(rng.random((B, S, KV)).astype(np.float32) + 0.01)
+    vs = jnp.asarray(rng.random((B, S, KV)).astype(np.float32) + 0.01)
+    for pos in (7, 300, 1023):
+        positions = jnp.asarray([pos], jnp.int32)
+        got = np.asarray(att.gqa_attention_per_slot(q, kq, vq, positions, ks, vs))
+        orig = att._bucket_sizes
+        att._bucket_sizes = lambda s, smallest=256: [s]
+        try:
+            want = np.asarray(att.gqa_attention_per_slot(q, kq, vq, positions, ks, vs))
+        finally:
+            att._bucket_sizes = orig
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

@@ -76,3 +76,29 @@ def test_pallas_mode_forward_matches_exact(tiny_weights, tiny_cfg):
     a, b = np.asarray(lg_p), np.asarray(lg_e)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+
+def test_pick_tile_always_divides():
+    """Regression: a non-divisor tile makes the grid silently drop the axis
+    tail (found driving a dim-768 model: 768 -> tk=512 dropped 256 rows)."""
+    from qwen3_tpu.ops.pallas.q8_matmul import _pick_tile
+    for n in (256, 320, 512, 768, 1344, 2048, 6144, 151936, 8 * 64 * 7):
+        for quantum, cap in ((8 * 64, 512), (128, 1024)):
+            t = _pick_tile(n, quantum, cap)
+            assert n % t == 0, (n, quantum, cap, t)
+
+
+def test_q8q8_nondivisible_hidden_dim():
+    """Regression for the dropped-tail bug at n=768 (tk fallback)."""
+    import numpy as np
+    from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_pallas
+    from qwen3_tpu.ops.quant_matmul import q8_matmul_exact
+    G, n, d = 64, 768, 256
+    rng = np.random.default_rng(0)
+    wq = jnp.asarray(rng.integers(-127, 128, (n, d)).astype(np.int8))
+    ws = jnp.asarray(rng.random((n // G, d)).astype(np.float32) * 0.01)
+    xq = jnp.asarray(rng.integers(-127, 128, (1, n)).astype(np.int8))
+    xs = jnp.asarray(rng.random((1, n // G)).astype(np.float32))
+    got = np.asarray(q8_q8_matmul_pallas(xq, xs, wq, ws, G, interpret=True))
+    want = np.asarray(q8_matmul_exact(xq, xs, wq.T, ws.T, G))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
