@@ -48,6 +48,11 @@ from qwen3_tpu.ops.rope import rope_tables
 Params = dict[str, Any]
 
 _LAYER_MATS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+_LAYER_MATS_FUSED = ("wqkv", "wo", "w13", "w2")  # pallas mode
+
+
+def _mat_names(mode: str):
+    return _LAYER_MATS_FUSED if mode == "pallas" else _LAYER_MATS
 
 
 def _dequant_bf16_host(q, s, group_size: int):
@@ -109,14 +114,45 @@ def init_params(w: Q8Weights, mode: str = "bf16",
                 getattr(w, name + "_q"), getattr(w, name + "_s"), g))
         p["cls_t"] = jnp.asarray(_dequant_bf16_host(w.cls_q, w.cls_s, g))
     elif mode == "pallas":
-        # int8 weights transposed to [in, out] (+ scales [in/G, out]) so the
-        # fused dequant+matmul kernel streams them from HBM contraction-major
-        for name in _LAYER_MATS:
-            q, s = getattr(w, name + "_q"), getattr(w, name + "_s")
-            p[name + "_q"] = jnp.asarray(_transpose_stacked(q))
-            p[name + "_s"] = jnp.asarray(_transpose_stacked(s))
-        p["cls_q"] = jnp.asarray(_transpose_stacked(w.cls_q))
-        p["cls_s"] = jnp.asarray(_transpose_stacked(w.cls_s))
+        # int8 weights transposed to [in, out], then repacked into contiguous
+        # [J, in, td] d-tiles so each kernel grid block is ONE contiguous HBM
+        # DMA (the flat layout gives the vocab matmul only 128B per row)
+        from qwen3_tpu.ops.pallas.q8_matmul import repack_tiles
+
+        def pack(q, s):
+            qt, st = _transpose_stacked(q), _transpose_stacked(s)
+            if qt.ndim == 2:
+                return repack_tiles(qt, st, cfg.group_size)
+            pairs = [repack_tiles(qt[i], st[i], cfg.group_size)
+                     for i in range(qt.shape[0])]
+            import numpy as _np
+            return (_np.stack([a for a, _ in pairs]),
+                    _np.stack([b for _, b in pairs]))
+
+        import numpy as _np
+
+        # fuse QKV and W1/W3 along the output axis: one kernel launch where
+        # the reference runs three matvecs (src/forward.c:260-262) / two
+        # (src/forward.c:311-314); outputs are split by static slice
+        fused = {
+            "wqkv": ("wq", "wk", "wv"),
+            "w13": ("w1", "w3"),
+        }
+        for out_name, parts in fused.items():
+            q = _np.concatenate([getattr(w, n + "_q") for n in parts],
+                                axis=-2)
+            s = _np.concatenate([getattr(w, n + "_s") for n in parts],
+                                axis=-2)
+            qt, st = pack(q, s)
+            p[out_name + "_q"] = jnp.asarray(qt)
+            p[out_name + "_s"] = jnp.asarray(st)
+        for name in ("wo", "w2"):
+            qt, st = pack(getattr(w, name + "_q"), getattr(w, name + "_s"))
+            p[name + "_q"] = jnp.asarray(qt)
+            p[name + "_s"] = jnp.asarray(st)
+        qt, st = pack(w.cls_q, w.cls_s)
+        p["cls_q"] = jnp.asarray(qt)
+        p["cls_s"] = jnp.asarray(st)
     else:
         raise ValueError(f"unknown mode: {mode}")
     return p
@@ -150,20 +186,19 @@ def _make_linear(mode: str, group_size: int):
 
         import jax as _jax
 
-        from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_pallas
+        from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_tiled
 
         interpret = _jax.default_backend() == "cpu"
         block_k = int(_os.environ.get("QWEN3_TPU_PALLAS_BK", "512"))
-        block_d = int(_os.environ.get("QWEN3_TPU_PALLAS_BD", "1024"))
 
         # Reference-exact integer math: quantize activations per group
-        # (src/forward.c:259), then int8 x int8 group dots in the kernel.
+        # (src/forward.c:259), then int8 x int8 group dots in the kernel
+        # over the tile-repacked weight layout (see init_params).
         def linear(x, layer_w):
-            w_q, w_s = layer_w
+            w_qt, w_st = layer_w
             xq, xs = quantize_act(x, group_size)
-            return q8_q8_matmul_pallas(xq, xs, w_q, w_s, group_size,
-                                       block_k=block_k, block_d=block_d,
-                                       interpret=interpret)
+            return q8_q8_matmul_tiled(xq, xs, w_qt, w_st, group_size,
+                                      block_k=block_k, interpret=interpret)
     else:
         def linear(x, layer_w):
             (w_t,) = layer_w
@@ -211,7 +246,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     }
     if k_sc is not None:
         layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
-    for name in _LAYER_MATS:
+    for name in _mat_names(mode):
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
@@ -221,9 +256,15 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
         h = rmsnorm(x, xs["att_norm"])
-        q = linear(h, lw("wq")).reshape(B, T, H, D)
-        k = linear(h, lw("wk")).reshape(B, T, KV, D)
-        v = linear(h, lw("wv")).reshape(B, T, KV, D)
+        if mode == "pallas":
+            qkv = linear(h, lw("wqkv"))
+            q = qkv[..., :H * D].reshape(B, T, H, D)
+            k = qkv[..., H * D:(H + KV) * D].reshape(B, T, KV, D)
+            v = qkv[..., (H + KV) * D:(H + 2 * KV) * D].reshape(B, T, KV, D)
+        else:
+            q = linear(h, lw("wq")).reshape(B, T, H, D)
+            k = linear(h, lw("wk")).reshape(B, T, KV, D)
+            v = linear(h, lw("wv")).reshape(B, T, KV, D)
 
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
@@ -247,8 +288,13 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x + linear(att.reshape(B, T, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
-        gate = linear(h, lw("w1"))
-        up = linear(h, lw("w3"))
+        if mode == "pallas":
+            gu = linear(h, lw("w13"))
+            gate = gu[..., :cfg.hidden_dim]
+            up = gu[..., cfg.hidden_dim:2 * cfg.hidden_dim]
+        else:
+            gate = linear(h, lw("w1"))
+            up = linear(h, lw("w3"))
         x = x + linear(swiglu(gate, up), lw("w2"))
         return x, ys
 
@@ -259,7 +305,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     x = rmsnorm(x, p["out_norm"])
     if not all_logits:
         x = x[:, -1:, :]
-    logits = linear(x, _layer_weights(p, mode, "cls"))
+    logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     return logits, new_k, new_v
 
 
@@ -303,7 +349,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     }
     if k_sc is not None:
         layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
-    for name in _LAYER_MATS:
+    for name in _mat_names(mode):
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
@@ -313,9 +359,15 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
         h = rmsnorm(x, xs["att_norm"])
-        q = linear(h, lw("wq")).reshape(B, 1, H, D)
-        k = linear(h, lw("wk")).reshape(B, 1, KV, D)
-        v = linear(h, lw("wv")).reshape(B, 1, KV, D)
+        if mode == "pallas":
+            qkv = linear(h, lw("wqkv"))
+            q = qkv[..., :H * D].reshape(B, 1, H, D)
+            k = qkv[..., H * D:(H + KV) * D].reshape(B, 1, KV, D)
+            v = qkv[..., (H + KV) * D:(H + 2 * KV) * D].reshape(B, 1, KV, D)
+        else:
+            q = linear(h, lw("wq")).reshape(B, 1, H, D)
+            k = linear(h, lw("wk")).reshape(B, 1, KV, D)
+            v = linear(h, lw("wv")).reshape(B, 1, KV, D)
 
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
@@ -335,13 +387,19 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
-        x = x + linear(swiglu(linear(h, lw("w1")), linear(h, lw("w3"))),
-                       lw("w2"))
+        if mode == "pallas":
+            gu = linear(h, lw("w13"))
+            gate = gu[..., :cfg.hidden_dim]
+            up = gu[..., cfg.hidden_dim:2 * cfg.hidden_dim]
+        else:
+            gate = linear(h, lw("w1"))
+            up = linear(h, lw("w3"))
+        x = x + linear(swiglu(gate, up), lw("w2"))
         return x, ys
 
     x, ys = lax.scan(body, x, layer_xs)
     new_k = kvc.join(ys["k_cache"], ys.get("k_scale"))
     new_v = kvc.join(ys["v_cache"], ys.get("v_scale"))
     x = rmsnorm(x, p["out_norm"])
-    logits = linear(x, _layer_weights(p, mode, "cls"))
+    logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     return logits[:, 0], new_k, new_v

@@ -150,6 +150,115 @@ def q8_q8_matmul_pallas(x_q: jnp.ndarray, x_s: jnp.ndarray,
     return out.reshape(*lead, d)
 
 
+def repack_tiles(w_q, w_s, group_size: int, block_d: int = 1024):
+    """Host-side one-time repack of [n, d] Q8_0 weights into d-tiles:
+
+      w_qt [J, n, td] int8,  w_st [J, n/G, td] f32,  J*td >= d
+
+    Each kernel grid block then maps to ONE contiguous HBM region, and d is
+    zero-padded up to a multiple of block_d when no large tile divides it —
+    the vocab dim 151936 = 2^7 * 1187 only admits td=128, which costs ~4700
+    tiny grid steps for one matmul; padded to 152576 it runs 596. Padded
+    columns produce exactly 0.0 (zero weights AND zero scales); callers
+    slice `[..., :d]`. Values are otherwise identical — this is the layout
+    repack SURVEY.md §7 anticipated for Q8_0-vs-MXU.
+    """
+    import numpy as np
+
+    n, d = w_q.shape[-2], w_q.shape[-1]
+    td = _pick_tile(d, 128, block_d)
+    if td < 512 and d > block_d:  # only tiny tiles divide d: pad instead
+        d_pad = -(-d // block_d) * block_d
+        pad = [(0, 0)] * (w_q.ndim - 1) + [(0, d_pad - d)]
+        w_q = np.pad(np.asarray(w_q), pad)
+        w_s = np.pad(np.asarray(w_s), pad)
+        d, td = d_pad, block_d
+    j = d // td
+
+    def tile(a):  # [..., r, d] -> [..., J, r, td]
+        return np.ascontiguousarray(
+            np.moveaxis(np.asarray(a).reshape(*a.shape[:-1], j, td), -2, -3))
+
+    return tile(w_q), tile(w_s)
+
+
+def _kernel_q8q8_tiled(xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
+                       group_size: int):
+    """Same math as _kernel_q8q8, reading the [J, n, td] tiled weight layout
+    (block (1, tk, td) = one contiguous HBM chunk)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(gpt):
+        dot = jnp.dot(xq_ref[:, i * g:(i + 1) * g],
+                      wq_ref[0, i * g:(i + 1) * g, :],
+                      preferred_element_type=jnp.int32)       # exact int32
+        acc = acc + dot.astype(jnp.float32) * (
+            xst_ref[i, :][:, None] * ws_ref[0, i, :][None, :])
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "interpret"),
+)
+def q8_q8_matmul_tiled(x_q: jnp.ndarray, x_s: jnp.ndarray,
+                       w_qt: jnp.ndarray, w_st: jnp.ndarray,
+                       group_size: int, block_k: int = 512,
+                       interpret: bool = False) -> jnp.ndarray:
+    """int8 activations x tile-repacked Q8_0 weights (see repack_tiles).
+
+    x_q: int8 [..., n]; x_s: f32 [..., n/G]
+    w_qt: int8 [J, n, td]; w_st: f32 [J, n/G, td] -> out f32 [..., J*td]
+    """
+    *lead, n = x_q.shape
+    j, _, td = w_qt.shape
+    d = j * td
+    xb = x_q.reshape(-1, n)
+    sbt = x_s.reshape(-1, n // group_size).T   # sublane-aligned k-tile slices
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    assert n % tk == 0, (n, tk)
+    gpt = tk // group_size
+
+    grid = (j, n // tk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8q8_tiled, group_size=group_size),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, b), lambda j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk // group_size, td), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d + b * n + 4 * b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xb, sbt, w_qt, w_st)
+    return out.reshape(*lead, d)
+
+
 def _pick_tile(n: int, quantum: int, cap: int) -> int:
     """Largest multiple of `quantum` dividing n, <= cap; falls back to the
     whole axis when no such divisor exists (Mosaic pads sub-tile blocks).
