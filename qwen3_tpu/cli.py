@@ -42,6 +42,7 @@ def build_engine(args) -> Engine:
         top_p=args.p,
         seq_len=args.c,
         mode=args.qmode,
+        attn=args.attn,
         kv_dtype=args.kv_dtype,
     )
     print(f"[Engine] loading {cfg.path} (mode={cfg.mode})", file=sys.stderr)
@@ -99,6 +100,9 @@ def main(argv=None) -> int:
     ap.add_argument("-y", default=None)
     ap.add_argument("-r", type=int, default=1)
     ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas"])
+    ap.add_argument("--attn", default="dense", choices=["dense", "flash"],
+                    help="decode attention backend (flash = fused Pallas "
+                         "online-softmax kernel)")
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)

@@ -28,7 +28,10 @@ def synthetic_weights(cfg: ModelConfig, seed: int = 0,
         return (1.0 + 0.1 * rng.standard_normal(shape)).astype(np.float32)
 
     def q8(shape, row_scale=scale):
-        q = rng.integers(-127, 128, size=shape, dtype=np.int64).astype(np.int8)
+        # raw-byte generation (the bounded int64 path is ~10x slower for
+        # multi-GB checkpoints); clamp -128 to the Q8_0 range [-127, 127]
+        q = rng.integers(0, 256, size=shape, dtype=np.uint8).view(np.int8)
+        np.maximum(q, -127, out=q)
         s_shape = shape[:-1] + (shape[-1] // G,)
         s = (row_scale / 127.0) * (0.5 + rng.random(s_shape, dtype=np.float32))
         return q, s.astype(np.float32)

@@ -175,6 +175,17 @@ def _embed(p: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     return dequantize(q, s, cfg.group_size)
 
 
+def _flash(q, k_vals, v_vals, positions, ks, vs):
+    """Flash-decode attention (ops/pallas/flash_decode.py): same values as
+    gqa_attention_per_slot up to online-softmax fp32 reduction order."""
+    import jax as _jax
+
+    from qwen3_tpu.ops.pallas.flash_decode import flash_decode_gqa
+
+    return flash_decode_gqa(q, k_vals, v_vals, positions, ks, vs,
+                            interpret=_jax.default_backend() == "cpu")
+
+
 def _make_linear(mode: str, group_size: int):
     if mode == "exact":
         def linear(x, layer_w):
@@ -215,7 +226,7 @@ def _layer_weights(p: Params, mode: str, name: str):
 def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                  k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  start_pos: jnp.ndarray, *, mode: str = "bf16",
-                 all_logits: bool = False):
+                 all_logits: bool = False, attn: str = "dense"):
     """Run a [B, T] block of tokens starting at absolute position `start_pos`.
 
     Returns (logits [B, T, V] or [B, 1, V], new_k_cache, new_v_cache).
@@ -242,15 +253,18 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
-        "k_cache": k_vals, "v_cache": v_vals,
     }
-    if k_sc is not None:
-        layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
     for name in _mat_names(mode):
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
-    def body(x, xs):
+    # The KV cache rides the scan CARRY (updated in place at layer l), not
+    # xs/ys: mapping it through ys restacks the whole cache in HBM every
+    # call (~2x cache bytes per token); the carry version writes only the
+    # new rows. XLA aliases the carry buffer, so updates are in place.
+    def body(carry, xs):
+        x, kvs, l = carry
+        k_vals, v_vals, k_sc, v_sc = kvs
         lw = lambda name: tuple(
             xs[name + part]
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
@@ -269,22 +283,28 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
 
-        k_enc, k_es = kvc.encode_block(xs["k_cache"], k)
-        v_enc, v_es = kvc.encode_block(xs["v_cache"], v)
-        kc = lax.dynamic_update_slice(xs["k_cache"], k_enc,
-                                      (0, start_pos, 0, 0))
-        vc = lax.dynamic_update_slice(xs["v_cache"], v_enc,
-                                      (0, start_pos, 0, 0))
-        ys = {"k_cache": kc, "v_cache": vc}
+        k_enc, k_es = kvc.encode_block(k_vals, k)
+        v_enc, v_es = kvc.encode_block(v_vals, v)
+        k_vals = lax.dynamic_update_slice(
+            k_vals, k_enc[None], (l, 0, start_pos, 0, 0))
+        v_vals = lax.dynamic_update_slice(
+            v_vals, v_enc[None], (l, 0, start_pos, 0, 0))
+        kl = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
+        vl = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
         ks = vs = None
         if k_es is not None:
-            ks = lax.dynamic_update_slice(xs["k_scale"], k_es,
-                                          (0, start_pos, 0))
-            vs = lax.dynamic_update_slice(xs["v_scale"], v_es,
-                                          (0, start_pos, 0))
-            ys["k_scale"], ys["v_scale"] = ks, vs
+            k_sc = lax.dynamic_update_slice(
+                k_sc, k_es[None], (l, 0, start_pos, 0))
+            v_sc = lax.dynamic_update_slice(
+                v_sc, v_es[None], (l, 0, start_pos, 0))
+            ks = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
+            vs = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
 
-        att = gqa_attention(q, kc, vc, positions, ks, vs)  # [B,T,H,D] fp32
+        if attn == "flash" and T == 1:
+            att = _flash(q[:, 0], kl, vl,
+                         jnp.broadcast_to(positions, (B,)), ks, vs)[:, None]
+        else:
+            att = gqa_attention(q, kl, vl, positions, ks, vs)  # [B,T,H,D]
         x = x + linear(att.reshape(B, T, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
@@ -296,11 +316,12 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             gate = linear(h, lw("w1"))
             up = linear(h, lw("w3"))
         x = x + linear(swiglu(gate, up), lw("w2"))
-        return x, ys
+        return (x, (k_vals, v_vals, k_sc, v_sc), l + 1), None
 
-    x, ys = lax.scan(body, x, layer_xs)
-    new_k = kvc.join(ys["k_cache"], ys.get("k_scale"))
-    new_v = kvc.join(ys["v_cache"], ys.get("v_scale"))
+    init = (x, (k_vals, v_vals, k_sc, v_sc), jnp.int32(0))
+    (x, (k_vals, v_vals, k_sc, v_sc), _), _ = lax.scan(body, init, layer_xs)
+    new_k = kvc.join(k_vals, k_sc)
+    new_v = kvc.join(v_vals, v_sc)
 
     x = rmsnorm(x, p["out_norm"])
     if not all_logits:
@@ -310,13 +331,14 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 forward = functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "all_logits")
+    jax.jit, static_argnames=("cfg", "mode", "all_logits", "attn")
 )(forward_impl)
 
 
 def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                        positions: jnp.ndarray, *, mode: str = "bf16"):
+                        positions: jnp.ndarray, *, mode: str = "bf16",
+                        attn: str = "dense"):
     """Batched single-token decode with *per-slot* positions.
 
     tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
@@ -345,15 +367,16 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
-        "k_cache": k_vals, "v_cache": v_vals,
     }
-    if k_sc is not None:
-        layer_xs["k_scale"], layer_xs["v_scale"] = k_sc, v_sc
     for name in _mat_names(mode):
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
-    def body(x, xs):
+    # KV cache in the scan carry, updated in place at layer l (see
+    # forward_impl) — per-slot rows scattered at each stream's own position.
+    def body(carry, xs):
+        x, kvs, l = carry
+        k_vals, v_vals, k_sc, v_sc = kvs
         lw = lambda name: tuple(
             xs[name + part]
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
@@ -372,18 +395,23 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
 
-        k_enc, k_es = kvc.encode_block(xs["k_cache"], k[:, 0])
-        v_enc, v_es = kvc.encode_block(xs["v_cache"], v[:, 0])
-        kc = xs["k_cache"].at[rows, positions].set(k_enc)
-        vc = xs["v_cache"].at[rows, positions].set(v_enc)
-        ys = {"k_cache": kc, "v_cache": vc}
+        k_enc, k_es = kvc.encode_block(k_vals, k[:, 0])
+        v_enc, v_es = kvc.encode_block(v_vals, v[:, 0])
+        k_vals = k_vals.at[l, rows, positions].set(k_enc)
+        v_vals = v_vals.at[l, rows, positions].set(v_enc)
+        kl = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
+        vl = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
         ks = vs = None
         if k_es is not None:
-            ks = xs["k_scale"].at[rows, positions].set(k_es)
-            vs = xs["v_scale"].at[rows, positions].set(v_es)
-            ys["k_scale"], ys["v_scale"] = ks, vs
+            k_sc = k_sc.at[l, rows, positions].set(k_es)
+            v_sc = v_sc.at[l, rows, positions].set(v_es)
+            ks = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
+            vs = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
 
-        att = gqa_attention_per_slot(q[:, 0], kc, vc, positions, ks, vs)
+        if attn == "flash":
+            att = _flash(q[:, 0], kl, vl, positions, ks, vs)
+        else:
+            att = gqa_attention_per_slot(q[:, 0], kl, vl, positions, ks, vs)
         x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
@@ -395,11 +423,12 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             gate = linear(h, lw("w1"))
             up = linear(h, lw("w3"))
         x = x + linear(swiglu(gate, up), lw("w2"))
-        return x, ys
+        return (x, (k_vals, v_vals, k_sc, v_sc), l + 1), None
 
-    x, ys = lax.scan(body, x, layer_xs)
-    new_k = kvc.join(ys["k_cache"], ys.get("k_scale"))
-    new_v = kvc.join(ys["v_cache"], ys.get("v_scale"))
+    init = (x, (k_vals, v_vals, k_sc, v_sc), jnp.int32(0))
+    (x, (k_vals, v_vals, k_sc, v_sc), _), _ = lax.scan(body, init, layer_xs)
+    new_k = kvc.join(k_vals, k_sc)
+    new_v = kvc.join(v_vals, v_sc)
     x = rmsnorm(x, p["out_norm"])
     logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     return logits[:, 0], new_k, new_v

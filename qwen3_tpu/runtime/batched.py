@@ -62,12 +62,13 @@ class BatchCarry(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
+    static_argnames=("cfg", "attn", "mode", "chunk", "temperature", "top_p",
                      "greedy", "bos", "eos", "top_k"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
                          rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
+                         attn: str = "dense",
                          temperature: float, top_p: float, greedy: bool,
                          bos: int, eos: int, top_k: int = 0):
     """Up to `chunk` decode steps over all live slots.
@@ -99,7 +100,8 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
         S = jax.tree.leaves(c.k_cache)[0].shape[2]
         write_pos = jnp.minimum(c.pos, S - 1)
         logits, kc, vc = decode_forward_impl(
-            params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode)
+            params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode,
+            attn=attn)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
         nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy,
                             top_k_hint=top_k)
@@ -192,11 +194,12 @@ class BatchedEngine:
                  mode: str = "bf16", temperature: float = 1.0,
                  top_p: float = 0.9, kv_dtype: str = "float32",
                  prefill_bucket: int = 128, decode_chunk: int = 32,
-                 top_k: int = 64):
+                 top_k: int = 64, attn: str = "dense"):
         self.tokenizer = Tokenizer.from_file(path)
         weights = load_checkpoint(path)
         self.cfg: ModelConfig = weights.config.with_seq_len(seq_len)
         self.mode = mode
+        self.attn = attn
         self.params = init_params(weights, mode=mode,
                                   max_seq_len=self.cfg.seq_len)
         self.max_batch = max_batch
@@ -284,7 +287,8 @@ class BatchedEngine:
             cfg=self.cfg, mode=self.mode, chunk=self.decode_chunk,
             temperature=self.temperature, top_p=self.top_p,
             greedy=self.greedy, bos=self.tokenizer.special.bos,
-            eos=self.tokenizer.special.eos, top_k=self.top_k)
+            eos=self.tokenizer.special.eos, top_k=self.top_k,
+            attn=self.attn)
         self._kv = (k, v)
         self._token, self._pos, self._done = tok, pos, done
         self._rng_hi, self._rng_lo = hi, lo

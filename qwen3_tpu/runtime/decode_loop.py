@@ -44,14 +44,15 @@ class DecodeCarry(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos", "emit_at_limit", "top_k"),
+                     "greedy", "bos", "eos", "emit_at_limit", "top_k",
+                     "attn"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def decode_chunk(params, k_cache, v_cache, token, pos, limit,
                  rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
                  temperature: float, top_p: float, greedy: bool,
                  bos: int, eos: int, emit_at_limit: bool = False,
-                 top_k: int = 0):
+                 top_k: int = 0, attn: str = "dense"):
     """Generate up to `chunk` tokens fully on device (B=1).
 
     token: i32 [1] — current sampled-but-unemitted token.
@@ -81,7 +82,7 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
         def fwd(c: DecodeCarry):
             logits, kc, vc = forward_impl(
                 params, cfg, c.token[:, None], c.k_cache, c.v_cache,
-                c.pos, mode=mode)
+                c.pos, mode=mode, attn=attn)
             hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
             nxt = sample_tokens(logits[:, 0], coin[None], temperature,
                                 top_p, greedy=greedy, top_k_hint=top_k)

@@ -44,6 +44,7 @@ class EngineConfig:
     top_p: float = 0.9
     seq_len: int = 0               # 0 -> min(checkpoint max, 32768) like the CLI
     mode: str = "bf16"             # "exact" | "bf16" | "pallas"
+    attn: str = "dense"            # "dense" | "flash" (decode attention)
     kv_dtype: str = "float32"
     prefill_chunk: int = 64
     decode_chunk: int = 32         # tokens generated per device dispatch
@@ -140,7 +141,8 @@ class Engine:
                 temperature=self.sampler.temperature,
                 top_p=self.sampler.top_p, greedy=self.greedy,
                 bos=t.special.bos, eos=t.special.eos,
-                emit_at_limit=emit_at_limit, top_k=self.cfg.top_k)
+                emit_at_limit=emit_at_limit, top_k=self.cfg.top_k,
+                attn=self.cfg.attn)
             arr = np.asarray(packed)  # the one host sync per chunk
             n, done = int(arr[-2]), bool(arr[-1])
             self._kv = (k, v)

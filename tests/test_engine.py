@@ -150,3 +150,18 @@ def test_chat_overflow_resets(ckpt):
     session.send("hi")
     assert session.pos <= eng.model_cfg.seq_len
     assert session.pos > 0  # restarted from 0 and consumed the new turn
+
+
+def test_flash_attn_engine_matches_dense(ckpt):
+    """Engine greedy decode with the flash attention backend must agree with
+    the dense path (same values up to online-softmax fp32 reduction order;
+    argmax over tame logits is stable)."""
+    from qwen3_tpu.runtime.engine import Engine, EngineConfig
+
+    outs = {}
+    for attn in ("dense", "flash"):
+        eng = Engine(EngineConfig(path=ckpt, seed=5, temperature=0.0,
+                                  top_p=0.9, seq_len=96, mode="bf16",
+                                  attn=attn, decode_chunk=16))
+        outs[attn] = eng.generate("the thinker", max_tokens=24).ids
+    assert outs["dense"] == outs["flash"]
