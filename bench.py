@@ -14,7 +14,8 @@ Prints ONE JSON line:
   single-core C run is slow.
 
 Env knobs: BENCH_PRESET (default qwen3-4b), BENCH_CTX (default 1024),
-BENCH_DECODE_TOKENS (default 128), BENCH_SKIP_BASELINE=1.
+BENCH_DECODE_TOKENS (default 128), BENCH_QMODE (default pallas — the fused
+int8 kernel path), BENCH_SKIP_BASELINE=1.
 """
 
 from __future__ import annotations
@@ -69,7 +70,7 @@ def measure_engine(ckpt: str) -> dict:
     greedy = os.environ.get("BENCH_GREEDY", "1") == "1"
     eng = Engine(EngineConfig(
         path=ckpt, seed=3, temperature=0.0 if greedy else 0.8, top_p=0.9,
-        seq_len=CTX, mode=os.environ.get("BENCH_QMODE", "bf16"),
+        seq_len=CTX, mode=os.environ.get("BENCH_QMODE", "pallas"),
         kv_dtype="bfloat16", prefill_chunk=64,
         decode_chunk=int(os.environ.get("BENCH_DECODE_CHUNK", "64")),
     ))
@@ -118,7 +119,7 @@ def measure_batched(ckpt: str) -> float | None:
     n_tok = int(os.environ.get("BENCH_BATCH_TOKENS", "64"))
     eng = BatchedEngine(
         ckpt, max_batch=batch, seq_len=512,
-        mode=os.environ.get("BENCH_QMODE", "bf16"), temperature=0.0,
+        mode=os.environ.get("BENCH_QMODE", "pallas"), temperature=0.0,
         kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32)
 
     def run() -> float:
@@ -227,7 +228,7 @@ def main() -> None:
         "batched_tok_s": round(batched, 1) if batched else None,
         "baseline_tok_s": round(baseline, 3) if baseline else None,
         "preset": PRESET, "ctx": CTX,
-        "qmode": os.environ.get("BENCH_QMODE", "bf16"),
+        "qmode": os.environ.get("BENCH_QMODE", "pallas"),
     }))
 
 

@@ -349,7 +349,6 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     linear = _make_linear(mode, cfg.group_size)
-    rows = jnp.arange(B)
 
     x = _embed(p, cfg, tokens[:, None])          # [B, 1, dim]
     cos = jnp.take(p["rope_cos"], positions, axis=0)[:, None, None, :]
@@ -397,14 +396,27 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
         k_enc, k_es = kvc.encode_block(k_vals, k[:, 0])
         v_enc, v_es = kvc.encode_block(v_vals, v[:, 0])
-        k_vals = k_vals.at[l, rows, positions].set(k_enc)
-        v_vals = v_vals.at[l, rows, positions].set(v_enc)
+
+        # per-slot dynamic_update_slice, NOT a .at[l, rows, positions]
+        # scatter: the multi-index scatter falls off XLA:TPU's fast path for
+        # narrow dtypes (measured 6.6x slower per decode step with a bf16
+        # cache at B=8); B unrolled slice-updates stay in place
+        def write_rows(cache, rows_enc, extra_dims):
+            for b in range(B):
+                blk = rows_enc[b].reshape((1, 1, 1) + rows_enc[b].shape)
+                cache = lax.dynamic_update_slice(
+                    cache, blk.astype(cache.dtype),
+                    (l, b, positions[b]) + (0,) * extra_dims)
+            return cache
+
+        k_vals = write_rows(k_vals, k_enc, 2)
+        v_vals = write_rows(v_vals, v_enc, 2)
         kl = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
         vl = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
         ks = vs = None
         if k_es is not None:
-            k_sc = k_sc.at[l, rows, positions].set(k_es)
-            v_sc = v_sc.at[l, rows, positions].set(v_es)
+            k_sc = write_rows(k_sc, k_es, 1)
+            v_sc = write_rows(v_sc, v_es, 1)
             ks = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
             vs = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
 
