@@ -41,3 +41,27 @@ def test_chat_mode_scripted_stdin(ckpt, capsys, monkeypatch):
 def test_bad_mode_rejected(ckpt):
     with pytest.raises(SystemExit):
         main([ckpt, "-m", "nope"])
+
+
+def test_model_check_tool(ckpt, capsys):
+    from qwen3_tpu.tools.model_check import main
+    assert main([ckpt]) == 0
+    assert main(["/nonexistent.bin"]) == 1
+    assert main([]) == 2
+
+
+def test_tokenizer_check_tool(ckpt, capsys):
+    from qwen3_tpu.tools.tokenizer_check import main
+    assert main([ckpt, "hello world", "the thinker"]) == 0
+    out = capsys.readouterr().out
+    assert "ids" in out and "ok" in out
+
+
+def test_eval_cli(ckpt, capsys, monkeypatch):
+    import io as _io
+    import sys as _sys
+    from qwen3_tpu.eval.__main__ import main
+    monkeypatch.setattr(_sys, "stdin",
+                        _io.StringIO("the thinker thought a thought"))
+    assert main([ckpt, "--qmode", "bf16"]) == 0
+    assert '"ppl"' in capsys.readouterr().out
