@@ -74,10 +74,19 @@ def _dequant_bf16_host(q, s, group_size: int):
 
 
 def _transpose_stacked(a):
-    """[..., out, in] -> contiguous [..., in, out] on host."""
+    """[..., out, in] -> contiguous [..., in, out] on host.
+
+    Multi-GB checkpoint transposes via torch's multithreaded contiguous()
+    (numpy's strided copy is single-threaded: ~40 min for a 4B model)."""
     import numpy as np
 
-    return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+    try:
+        import torch
+
+        t = torch.from_numpy(np.asarray(a))
+        return t.transpose(-1, -2).contiguous().numpy()
+    except Exception:
+        return np.ascontiguousarray(np.swapaxes(a, -1, -2))
 
 
 def init_params(w: Q8Weights, mode: str = "bf16",
@@ -120,14 +129,10 @@ def init_params(w: Q8Weights, mode: str = "bf16",
         from qwen3_tpu.ops.pallas.q8_matmul import repack_tiles
 
         def pack(q, s):
-            qt, st = _transpose_stacked(q), _transpose_stacked(s)
-            if qt.ndim == 2:
-                return repack_tiles(qt, st, cfg.group_size)
-            pairs = [repack_tiles(qt[i], st[i], cfg.group_size)
-                     for i in range(qt.shape[0])]
-            import numpy as _np
-            return (_np.stack([a for a, _ in pairs]),
-                    _np.stack([b for _, b in pairs]))
+            # repack_tiles handles arbitrary leading (layer-stack) dims in
+            # one vectorized pass
+            return repack_tiles(_transpose_stacked(q), _transpose_stacked(s),
+                                cfg.group_size)
 
         import numpy as _np
 
@@ -238,8 +243,11 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     x = _embed(p, cfg, tokens)  # [B, T, dim] fp32
 
     positions = start_pos + jnp.arange(T, dtype=jnp.int32)       # [T]
-    cos = jnp.take(p["rope_cos"], positions, axis=0)[:, None, :]  # [T,1,half]
-    sin = jnp.take(p["rope_sin"], positions, axis=0)[:, None, :]
+    # mode="clip": an out-of-range position (guarded upstream) must clamp,
+    # not fill with NaN — a NaN'd KV row poisons masked attention (0 * NaN)
+    cos = jnp.take(p["rope_cos"], positions, axis=0,
+                   mode="clip")[:, None, :]                       # [T,1,half]
+    sin = jnp.take(p["rope_sin"], positions, axis=0, mode="clip")[:, None, :]
 
     def rope(v):
         half = v.shape[-1] // 2
@@ -351,8 +359,10 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     linear = _make_linear(mode, cfg.group_size)
 
     x = _embed(p, cfg, tokens[:, None])          # [B, 1, dim]
-    cos = jnp.take(p["rope_cos"], positions, axis=0)[:, None, None, :]
-    sin = jnp.take(p["rope_sin"], positions, axis=0)[:, None, None, :]
+    cos = jnp.take(p["rope_cos"], positions, axis=0,
+                   mode="clip")[:, None, None, :]
+    sin = jnp.take(p["rope_sin"], positions, axis=0,
+                   mode="clip")[:, None, None, :]
 
     def rope(v):  # [B, 1, heads, D]
         half = v.shape[-1] // 2

@@ -79,19 +79,30 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
         step = c.step + do_emit.astype(jnp.int32)
         done = is_stop | at_limit
 
-        def fwd(c: DecodeCarry):
-            logits, kc, vc = forward_impl(
-                params, cfg, c.token[:, None], c.k_cache, c.v_cache,
-                c.pos, mode=mode, attn=attn)
-            hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
-            nxt = sample_tokens(logits[:, 0], coin[None], temperature,
-                                top_p, greedy=greedy, top_k_hint=top_k)
-            return nxt, c.pos + 1, hi, lo, kc, vc
+        # Forward runs unconditionally; scalars are masked with `where` when
+        # this is the chunk's final (stop/limit) iteration. A lax.cond here
+        # forces XLA to merge the two branches' cache buffers (a full-cache
+        # copy per decode step); the wasted forward instead costs at most one
+        # extra step per chunk. The position MUST be clamped into the table
+        # range: at pos == seq_len the rope gather is out of bounds and
+        # jnp.take's fill mode poisons the written row with NaN, which later
+        # leaks through masked attention (0 * NaN) after a chat reset. The
+        # clamped write lands at a row the stream either never reads or
+        # overwrites before reading.
+        seq_len = c.k_cache.shape[2] if not isinstance(
+            c.k_cache, tuple) else c.k_cache[0].shape[2]
+        safe_pos = jnp.minimum(c.pos, seq_len - 1)
+        logits, kc, vc = forward_impl(
+            params, cfg, c.token[:, None], c.k_cache, c.v_cache,
+            safe_pos, mode=mode, attn=attn)
+        hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
+        nxt = sample_tokens(logits[:, 0], coin[None], temperature,
+                            top_p, greedy=greedy, top_k_hint=top_k)
 
-        def nofwd(c: DecodeCarry):
-            return (c.token, c.pos, c.rng_hi, c.rng_lo, c.k_cache, c.v_cache)
-
-        nxt, new_pos, hi, lo, kc, vc = jax.lax.cond(do_fwd, fwd, nofwd, c)
+        nxt = jnp.where(do_fwd, nxt, c.token)
+        new_pos = jnp.where(do_fwd, c.pos + 1, c.pos)
+        hi = jnp.where(do_fwd, hi, c.rng_hi)
+        lo = jnp.where(do_fwd, lo, c.rng_lo)
         return DecodeCarry(step=step, token=nxt, pos=new_pos, done=done,
                            rng_hi=hi, rng_lo=lo, k_cache=kc, v_cache=vc,
                            out=out)
