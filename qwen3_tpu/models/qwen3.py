@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from qwen3_tpu.config import ModelConfig
-from qwen3_tpu.io.checkpoint import Q8Weights
+from qwen3_tpu.io.checkpoint import Q8Weights, load_checkpoint
 from qwen3_tpu.ops.attention import gqa_attention, gqa_attention_per_slot
 from qwen3_tpu.ops.activations import swiglu
 from qwen3_tpu.ops.norms import rmsnorm
@@ -89,39 +89,34 @@ def _transpose_stacked(a):
         return np.ascontiguousarray(np.swapaxes(a, -1, -2))
 
 
-def init_params(w: Q8Weights, mode: str = "bf16",
-                max_seq_len: int | None = None) -> Params:
-    """Build the device parameter pytree from host Q8 weights.
+def _host_params(w: Q8Weights, mode: str) -> dict:
+    """Host (numpy) parameter dict for `mode` — everything in the device
+    params pytree except the rope tables (which depend on max_seq_len).
 
-    Embeddings and (in exact mode) all projections stay int8 in HBM.
+    Embeddings and (in exact mode) all projections stay int8.
     """
     cfg = w.config
-    if max_seq_len is None:
-        max_seq_len = cfg.seq_len
-    cos, sin = rope_tables(cfg.head_dim, max_seq_len)
-    p: Params = {
-        "att_norm": jnp.asarray(w.att_norm),
-        "ffn_norm": jnp.asarray(w.ffn_norm),
-        "out_norm": jnp.asarray(w.out_norm),
-        "q_norm": jnp.asarray(w.q_norm),
-        "k_norm": jnp.asarray(w.k_norm),
-        "emb_q": jnp.asarray(w.emb_q),
-        "emb_s": jnp.asarray(w.emb_s),
-        "rope_cos": cos,
-        "rope_sin": sin,
+    p = {
+        "att_norm": w.att_norm,
+        "ffn_norm": w.ffn_norm,
+        "out_norm": w.out_norm,
+        "q_norm": w.q_norm,
+        "k_norm": w.k_norm,
+        "emb_q": w.emb_q,
+        "emb_s": w.emb_s,
     }
     if mode == "exact":
         for name in _LAYER_MATS:
-            p[name + "_q"] = jnp.asarray(getattr(w, name + "_q"))
-            p[name + "_s"] = jnp.asarray(getattr(w, name + "_s"))
-        p["cls_q"] = jnp.asarray(w.cls_q)
-        p["cls_s"] = jnp.asarray(w.cls_s)
+            p[name + "_q"] = getattr(w, name + "_q")
+            p[name + "_s"] = getattr(w, name + "_s")
+        p["cls_q"] = w.cls_q
+        p["cls_s"] = w.cls_s
     elif mode == "bf16":
         g = cfg.group_size
         for name in _LAYER_MATS:
-            p[name + "_t"] = jnp.asarray(_dequant_bf16_host(
-                getattr(w, name + "_q"), getattr(w, name + "_s"), g))
-        p["cls_t"] = jnp.asarray(_dequant_bf16_host(w.cls_q, w.cls_s, g))
+            p[name + "_t"] = _dequant_bf16_host(
+                getattr(w, name + "_q"), getattr(w, name + "_s"), g)
+        p["cls_t"] = _dequant_bf16_host(w.cls_q, w.cls_s, g)
     elif mode == "pallas":
         # int8 weights transposed to [in, out], then repacked into contiguous
         # [J, in, td] d-tiles so each kernel grid block is ONE contiguous HBM
@@ -148,19 +143,94 @@ def init_params(w: Q8Weights, mode: str = "bf16",
                                 axis=-2)
             s = _np.concatenate([getattr(w, n + "_s") for n in parts],
                                 axis=-2)
-            qt, st = pack(q, s)
-            p[out_name + "_q"] = jnp.asarray(qt)
-            p[out_name + "_s"] = jnp.asarray(st)
+            p[out_name + "_q"], p[out_name + "_s"] = pack(q, s)
         for name in ("wo", "w2"):
-            qt, st = pack(getattr(w, name + "_q"), getattr(w, name + "_s"))
-            p[name + "_q"] = jnp.asarray(qt)
-            p[name + "_s"] = jnp.asarray(st)
-        qt, st = pack(w.cls_q, w.cls_s)
-        p["cls_q"] = jnp.asarray(qt)
-        p["cls_s"] = jnp.asarray(st)
+            p[name + "_q"], p[name + "_s"] = pack(
+                getattr(w, name + "_q"), getattr(w, name + "_s"))
+        p["cls_q"], p["cls_s"] = pack(w.cls_q, w.cls_s)
     else:
         raise ValueError(f"unknown mode: {mode}")
     return p
+
+
+def _to_device(host: dict, head_dim: int, max_seq_len: int) -> Params:
+    cos, sin = rope_tables(head_dim, max_seq_len)
+    p: Params = {k: jnp.asarray(v) for k, v in host.items()}
+    p["rope_cos"] = cos
+    p["rope_sin"] = sin
+    return p
+
+
+def init_params(w: Q8Weights, mode: str = "bf16",
+                max_seq_len: int | None = None) -> Params:
+    """Build the device parameter pytree from host Q8 weights."""
+    if max_seq_len is None:
+        max_seq_len = w.config.seq_len
+    return _to_device(_host_params(w, mode), w.config.head_dim, max_seq_len)
+
+
+_PACK_VERSION = 1
+
+
+def load_params(path: str, mode: str = "bf16",
+                max_seq_len: int | None = None,
+                cache: bool = True) -> tuple:
+    """Load checkpoint -> device params, with a packed-tensor disk cache.
+
+    The host-side prep for bf16 (dequant + transpose) and pallas (transpose +
+    tile repack) modes is a large single-threaded strided copy — minutes for a
+    4B checkpoint on a 1-core host. The prepped numpy arrays are a pure
+    function of the checkpoint bytes, so they are written once to
+    `<path>.pack/<mode>/` and later loads mmap them straight into the device
+    transfer (no body parse, no repack). Returns (ModelConfig, Params).
+    """
+    import json
+    import os
+    from pathlib import Path as _Path
+
+    from qwen3_tpu.io.checkpoint import read_header
+
+    cfg = read_header(path)
+    if max_seq_len is None:
+        max_seq_len = cfg.seq_len
+    st = os.stat(path)
+    meta_want = {"pack_version": _PACK_VERSION, "mode": mode,
+                 "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns}
+    pack = _Path(f"{path}.pack") / mode
+
+    if cache and (pack / "meta.json").exists():
+        import numpy as np
+
+        meta = json.loads((pack / "meta.json").read_text())
+        if {k: meta.get(k) for k in meta_want} == meta_want:
+            host = {}
+            for key in meta["keys"]:
+                a = np.load(pack / f"{key}.npy", mmap_mode="r")
+                if meta["dtypes"].get(key) == "bfloat16":
+                    import ml_dtypes
+
+                    a = a.view(ml_dtypes.bfloat16)
+                host[key] = a
+            return cfg, _to_device(host, cfg.head_dim, max_seq_len)
+
+    host = _host_params(load_checkpoint(path), mode)
+    if cache:
+        import ml_dtypes
+        import numpy as np
+
+        pack.mkdir(parents=True, exist_ok=True)
+        dtypes = {}
+        for key, a in host.items():
+            a = np.asarray(a)
+            if a.dtype == ml_dtypes.bfloat16:
+                dtypes[key] = "bfloat16"
+                a = a.view(np.uint16)
+            np.save(pack / f"{key}.npy", a)
+        # meta written last: a partial pack dir (crash mid-save) never
+        # validates and is silently rebuilt
+        (pack / "meta.json").write_text(json.dumps(
+            dict(meta_want, keys=sorted(host), dtypes=dtypes)))
+    return cfg, _to_device(host, cfg.head_dim, max_seq_len)
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,

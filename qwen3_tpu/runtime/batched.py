@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen3_tpu.config import ModelConfig
-from qwen3_tpu.io.checkpoint import load_checkpoint
-from qwen3_tpu.models import forward, init_kv_cache, init_params
+from qwen3_tpu.models import forward, init_kv_cache, load_params
 from qwen3_tpu.models.qwen3 import decode_forward_impl
 from qwen3_tpu.runtime.sampler import (
     Sampler,
@@ -196,12 +195,10 @@ class BatchedEngine:
                  prefill_bucket: int = 128, decode_chunk: int = 32,
                  top_k: int = 64, attn: str = "dense"):
         self.tokenizer = Tokenizer.from_file(path)
-        weights = load_checkpoint(path)
-        self.cfg: ModelConfig = weights.config.with_seq_len(seq_len)
+        mc, self.params = load_params(path, mode=mode, max_seq_len=seq_len)
+        self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
         self.attn = attn
-        self.params = init_params(weights, mode=mode,
-                                  max_seq_len=self.cfg.seq_len)
         self.max_batch = max_batch
         self.temperature = clamp_temperature(temperature)
         self.top_p = clamp_top_p(top_p)

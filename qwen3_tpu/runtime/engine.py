@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qwen3_tpu.config import MAX_SEQ_LEN, ModelConfig
-from qwen3_tpu.io.checkpoint import load_checkpoint
-from qwen3_tpu.models import forward, init_kv_cache, init_params
+from qwen3_tpu.models import forward, init_kv_cache, load_params
 from qwen3_tpu.runtime.decode_loop import burn_and_sample, decode_chunk
 from qwen3_tpu.runtime.sampler import Sampler
 from qwen3_tpu.runtime.xorshift import seed_to_device
@@ -69,13 +68,13 @@ class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.tokenizer = Tokenizer.from_file(cfg.path)
-        weights = load_checkpoint(cfg.path)
-
         seq_len = cfg.seq_len if cfg.seq_len > 0 else MAX_SEQ_LEN
-        self.model_cfg: ModelConfig = weights.config.with_seq_len(seq_len)
+        from qwen3_tpu.io.checkpoint import read_header
 
-        self.params = init_params(weights, mode=cfg.mode,
-                                  max_seq_len=self.model_cfg.seq_len)
+        self.model_cfg: ModelConfig = read_header(cfg.path).with_seq_len(
+            seq_len)
+        _, self.params = load_params(cfg.path, mode=cfg.mode,
+                                     max_seq_len=self.model_cfg.seq_len)
         self.sampler = Sampler(self.tokenizer.vocab_size, cfg.temperature,
                                cfg.top_p, cfg.seed)
         # greedy shortcut: at the epsilon temperature the reference's top-p
