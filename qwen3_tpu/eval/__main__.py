@@ -26,12 +26,13 @@ def main(argv=None) -> int:
             else open(args.text, encoding="utf-8").read())
 
     from qwen3_tpu.eval.perplexity import perplexity, sequence_nll
-    from qwen3_tpu.io.checkpoint import load_checkpoint
-    from qwen3_tpu.models import init_params
+    from qwen3_tpu.io.checkpoint import read_header
+    from qwen3_tpu.models import load_params
     from qwen3_tpu.tokenizer.bpe import Tokenizer
 
-    w = load_checkpoint(args.checkpoint)
-    cfg = w.config if not args.ctx else w.config.with_seq_len(args.ctx)
+    cfg = read_header(args.checkpoint)
+    if args.ctx:
+        cfg = cfg.with_seq_len(args.ctx)
     tok = Tokenizer.from_file(args.checkpoint)
     ids = tok.encode(text)
     if len(ids) < 2:
@@ -40,7 +41,8 @@ def main(argv=None) -> int:
     ids = ids[: cfg.seq_len]
     import numpy as np
 
-    params = init_params(w, mode=args.qmode, max_seq_len=cfg.seq_len)
+    _, params = load_params(args.checkpoint, mode=args.qmode,
+                            max_seq_len=cfg.seq_len)
     nll = float(np.mean(sequence_nll(params, cfg, ids, mode=args.qmode)))
     ppl = perplexity(params, cfg, ids, mode=args.qmode)
     print(f"[eval] tokens={len(ids)} nll/token={nll:.4f} ppl={ppl:.4f}",

@@ -81,9 +81,14 @@ def _transpose_stacked(a):
     import numpy as np
 
     try:
+        import warnings
+
         import torch
 
-        t = torch.from_numpy(np.asarray(a))
+        with warnings.catch_warnings():
+            # torch warns on read-only numpy (memmap) inputs; we only read
+            warnings.simplefilter("ignore", UserWarning)
+            t = torch.from_numpy(np.asarray(a))
         return t.transpose(-1, -2).contiguous().numpy()
     except Exception:
         return np.ascontiguousarray(np.swapaxes(a, -1, -2))

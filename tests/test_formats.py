@@ -64,6 +64,38 @@ def test_dequantize_inverse():
     assert np.abs(xd - x).max() <= (np.abs(x).max() / 127.0) * 0.5 + 1e-7
 
 
+def test_load_params_pack_cache(tmp_path, tiny_weights):
+    """load_params: cached load returns tensors identical to the cold load,
+    and the cache invalidates when the source checkpoint changes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from qwen3_tpu.models import load_params
+
+    path = str(tmp_path / "tiny.bin")
+    write_checkpoint(path, tiny_weights)
+
+    for mode in ("pallas", "bf16"):
+        cfg0, cold = load_params(path, mode=mode)
+        meta = tmp_path / "tiny.bin.pack" / mode / "meta.json"
+        assert meta.exists(), mode
+        cfg1, warm = load_params(path, mode=mode)
+        assert cfg0 == cfg1
+        assert set(cold) == set(warm)
+        for k in cold:
+            assert cold[k].dtype == warm[k].dtype, (mode, k)
+            np.testing.assert_array_equal(
+                np.asarray(cold[k], dtype=jnp.float32),
+                np.asarray(warm[k], dtype=jnp.float32), err_msg=f"{mode}/{k}")
+
+    # stale cache: bump the source mtime -> rebuilt, not served
+    before = meta.stat().st_mtime_ns
+    os.utime(path, ns=(1, 1))
+    load_params(path, mode="bf16")
+    assert meta.stat().st_mtime_ns != before
+
+
 def test_tokenizer_roundtrip(tmp_path, tiny_tok):
     path = str(tmp_path / "tiny.tokenizer")
     write_tokenizer_bin(path, tiny_tok)
