@@ -208,6 +208,15 @@ def measure_baseline(ckpt: str) -> float | None:
 
 def main() -> None:
     ckpt = ensure_artifacts()
+    if os.environ.get("BENCH_SKIP_ENGINE") == "1":  # batched-only run
+        tok_s = measure_batched(ckpt)
+        print(json.dumps({
+            "metric": "batched_decode_tok_s",
+            "value": round(tok_s or 0.0, 1), "unit": "tok/s",
+            "vs_baseline": None, "preset": PRESET,
+            "batch": int(os.environ.get("BENCH_BATCH", "8")),
+        }))
+        return
     ours = measure_engine(ckpt)
     try:
         batched = measure_batched(ckpt)
