@@ -485,7 +485,10 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         # per-slot dynamic_update_slice, NOT a .at[l, rows, positions]
         # scatter: the multi-index scatter falls off XLA:TPU's fast path for
         # narrow dtypes (measured 6.6x slower per decode step with a bf16
-        # cache at B=8); B unrolled slice-updates stay in place
+        # cache at B=8); B unrolled slice-updates stay in place. (A pallas
+        # row-write kernel — ops/pallas/kv_write.py — is NOT an improvement
+        # here: XLA double-buffers scan carries around custom calls, copying
+        # the whole cache per layer; measured 8x slower at B=64.)
         def write_rows(cache, rows_enc, extra_dims):
             for b in range(B):
                 blk = rows_enc[b].reshape((1, 1, 1) + rows_enc[b].shape)
