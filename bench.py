@@ -122,7 +122,9 @@ def measure_batched(ckpt: str) -> float | None:
     eng = BatchedEngine(
         ckpt, max_batch=batch, seq_len=512,
         mode=os.environ.get("BENCH_QMODE", "pallas"), temperature=0.0,
-        kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32)
+        kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32,
+        attn=os.environ.get("BENCH_ATTN", "dense"),
+        side_buffer=os.environ.get("BENCH_SIDE", "1") == "1")
 
     def run() -> float:
         reqs = [eng.submit(Request(prompt=PROMPT + f" {i}", seed=i,

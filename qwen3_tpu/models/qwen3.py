@@ -34,7 +34,11 @@ from jax import lax
 
 from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.io.checkpoint import Q8Weights, load_checkpoint
-from qwen3_tpu.ops.attention import gqa_attention, gqa_attention_per_slot
+from qwen3_tpu.ops.attention import (
+    gqa_attention,
+    gqa_attention_per_slot,
+    gqa_attention_two_segment,
+)
 from qwen3_tpu.ops.activations import swiglu
 from qwen3_tpu.ops.norms import rmsnorm
 from qwen3_tpu.ops.q8 import dequantize, quantize_act
@@ -421,13 +425,22 @@ forward = functools.partial(
 def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                         positions: jnp.ndarray, *, mode: str = "bf16",
-                        attn: str = "dense"):
+                        attn: str = "dense", side=None):
     """Batched single-token decode with *per-slot* positions.
 
     tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
-    position — the serving engine's continuous-batching step). Returns
-    (logits [B, V], new_k, new_v). Cache rows are updated per slot at their
-    own position via scatter.
+    position — the serving engine's continuous-batching step).
+
+    Without `side`: cache rows are updated per slot at their own position
+    (B unrolled slice-updates); returns (logits [B, V], new_k, new_v).
+
+    With `side=(k_side, v_side, base_pos, step)`: the main cache is READ
+    ONLY (rows idx < base_pos[b]); the new K/V rows go into the chunk side
+    buffers [L, B, C, KV, D] at the *uniform* step index — one fast-path
+    dynamic_update_slice instead of B scattered ones — and attention runs
+    over both segments (ops.attention.gqa_attention_two_segment). Returns
+    (logits, new_k_side, new_v_side); the serving loop merges side rows
+    back into the main cache once per chunk (runtime/batched.py).
     """
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -456,11 +469,20 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
             layer_xs[name + part] = p[name + part]
 
-    # KV cache in the scan carry, updated in place at layer l (see
-    # forward_impl) — per-slot rows scattered at each stream's own position.
+    if side is not None:
+        side_k, side_v, base_pos, step = side
+        offsets = positions - base_pos
+        sk0, sk_sc0 = kvc.split(side_k)
+        sv0, sv_sc0 = kvc.split(side_v)
+        carry_kvs = (sk0, sv0, sk_sc0, sv_sc0)
+    else:
+        carry_kvs = (k_vals, v_vals, k_sc, v_sc)
+
+    # The writable cache (main without `side`, the chunk side buffers with)
+    # rides the scan carry, updated in place at layer l (see forward_impl).
     def body(carry, xs):
         x, kvs, l = carry
-        k_vals, v_vals, k_sc, v_sc = kvs
+        ck, cv, ck_sc, cv_sc = kvs
         lw = lambda name: tuple(
             xs[name + part]
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
@@ -479,39 +501,72 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = rope(rmsnorm(q, xs["q_norm"]))
         k = rope(rmsnorm(k, xs["k_norm"]))
 
-        k_enc, k_es = kvc.encode_block(k_vals, k[:, 0])
-        v_enc, v_es = kvc.encode_block(v_vals, v[:, 0])
+        k_enc, k_es = kvc.encode_block(ck, k[:, 0])
+        v_enc, v_es = kvc.encode_block(cv, v[:, 0])
 
-        # per-slot dynamic_update_slice, NOT a .at[l, rows, positions]
-        # scatter: the multi-index scatter falls off XLA:TPU's fast path for
-        # narrow dtypes (measured 6.6x slower per decode step with a bf16
-        # cache at B=8); B unrolled slice-updates stay in place. (A pallas
-        # row-write kernel — ops/pallas/kv_write.py — is NOT an improvement
-        # here: XLA double-buffers scan carries around custom calls, copying
-        # the whole cache per layer; measured 8x slower at B=64.)
-        def write_rows(cache, rows_enc, extra_dims):
-            for b in range(B):
-                blk = rows_enc[b].reshape((1, 1, 1) + rows_enc[b].shape)
-                cache = lax.dynamic_update_slice(
-                    cache, blk.astype(cache.dtype),
-                    (l, b, positions[b]) + (0,) * extra_dims)
-            return cache
+        if side is None:
+            # per-slot dynamic_update_slice, NOT a .at[l, rows, positions]
+            # scatter: the multi-index scatter falls off XLA:TPU's fast path
+            # for narrow dtypes (measured 6.6x slower per decode step with a
+            # bf16 cache at B=8); B unrolled slice-updates stay in place. (A
+            # pallas row-write kernel — ops/pallas/kv_write.py — is NOT an
+            # improvement here: XLA double-buffers scan carries around
+            # custom calls, copying the whole cache per layer; measured 8x
+            # slower at B=64. The scalable path is `side`.)
+            def write_rows(cache, rows_enc, extra_dims):
+                for b in range(B):
+                    blk = rows_enc[b].reshape((1, 1, 1) + rows_enc[b].shape)
+                    cache = lax.dynamic_update_slice(
+                        cache, blk.astype(cache.dtype),
+                        (l, b, positions[b]) + (0,) * extra_dims)
+                return cache
 
-        k_vals = write_rows(k_vals, k_enc, 2)
-        v_vals = write_rows(v_vals, v_enc, 2)
-        kl = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
-        vl = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
-        ks = vs = None
-        if k_es is not None:
-            k_sc = write_rows(k_sc, k_es, 1)
-            v_sc = write_rows(v_sc, v_es, 1)
-            ks = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
-            vs = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
+            ck = write_rows(ck, k_enc, 2)
+            cv = write_rows(cv, v_enc, 2)
+            kl = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+            vl = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+            ks = vs = None
+            if k_es is not None:
+                ck_sc = write_rows(ck_sc, k_es, 1)
+                cv_sc = write_rows(cv_sc, v_es, 1)
+                ks = lax.dynamic_index_in_dim(ck_sc, l, 0, keepdims=False)
+                vs = lax.dynamic_index_in_dim(cv_sc, l, 0, keepdims=False)
 
-        if attn == "flash":
-            att = _flash(q[:, 0], kl, vl, positions, ks, vs)
+            if attn == "flash":
+                att = _flash(q[:, 0], kl, vl, positions, ks, vs)
+            else:
+                att = gqa_attention_per_slot(q[:, 0], kl, vl, positions,
+                                             ks, vs)
         else:
-            att = gqa_attention_per_slot(q[:, 0], kl, vl, positions, ks, vs)
+            # all B rows share the step index -> ONE uniform
+            # dynamic_update_slice per buffer, no scatter, no unroll
+            def write_step(buf, rows_enc):
+                blk = jnp.expand_dims(jnp.expand_dims(rows_enc, 0), 2)
+                return lax.dynamic_update_slice(
+                    buf, blk.astype(buf.dtype),
+                    (l, 0, step) + (0,) * (buf.ndim - 3))
+
+            ck = write_step(ck, k_enc)
+            cv = write_step(cv, v_enc)
+            ksl = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+            vsl = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+            kss = vss = kms = vms = None
+            if k_es is not None:
+                ck_sc = write_step(ck_sc, k_es)
+                cv_sc = write_step(cv_sc, v_es)
+                kss = lax.dynamic_index_in_dim(ck_sc, l, 0, keepdims=False)
+                vss = lax.dynamic_index_in_dim(cv_sc, l, 0, keepdims=False)
+                kms = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
+                vms = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
+            # main cache read-only from the closure (a scan carry would
+            # double-buffer it); flash doesn't know side buffers yet, so
+            # `side` always uses the dense two-segment path
+            kml = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
+            vml = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
+            att = gqa_attention_two_segment(
+                q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
+                k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
+
         x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
@@ -523,12 +578,12 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             gate = linear(h, lw("w1"))
             up = linear(h, lw("w3"))
         x = x + linear(swiglu(gate, up), lw("w2"))
-        return (x, (k_vals, v_vals, k_sc, v_sc), l + 1), None
+        return (x, (ck, cv, ck_sc, cv_sc), l + 1), None
 
-    init = (x, (k_vals, v_vals, k_sc, v_sc), jnp.int32(0))
-    (x, (k_vals, v_vals, k_sc, v_sc), _), _ = lax.scan(body, init, layer_xs)
-    new_k = kvc.join(k_vals, k_sc)
-    new_v = kvc.join(v_vals, v_sc)
+    init = (x, carry_kvs, jnp.int32(0))
+    (x, (ck, cv, ck_sc, cv_sc), _), _ = lax.scan(body, init, layer_xs)
+    new_a = kvc.join(ck, ck_sc)
+    new_b = kvc.join(cv, cv_sc)
     x = rmsnorm(x, p["out_norm"])
     logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
-    return logits[:, 0], new_k, new_v
+    return logits[:, 0], new_a, new_b

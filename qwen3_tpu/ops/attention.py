@@ -100,6 +100,64 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
                      (k_cache, v_cache, k_s, v_s))
 
 
+def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
+                              v_main: jnp.ndarray, k_side: jnp.ndarray,
+                              v_side: jnp.ndarray, base_pos: jnp.ndarray,
+                              offsets: jnp.ndarray,
+                              k_ms=None, v_ms=None, k_ss=None, v_ss=None
+                              ) -> jnp.ndarray:
+    """Per-slot decode attention over a main cache prefix plus a chunk side
+    buffer (the continuous-batching decode layout: rows < base_pos[b] live in
+    the main cache, rows written during the current chunk live in the side
+    buffer at offsets 0..offsets[b]).
+
+    q [B, H, D]; k/v_main [B, S, KV, D]; k/v_side [B, C, KV, D];
+    base_pos [B] i32 (main rows idx < base_pos[b] attend);
+    offsets [B] i32 (side rows j <= offsets[b] attend).
+    Scores from both segments share one masked softmax, so the math equals
+    single-buffer attention over the same rows (up to fp32 reduction order of
+    the concatenated score axis). Returns [B, H, D] fp32.
+    """
+    B, H, D = q.shape
+    S, KV = k_main.shape[1], k_main.shape[2]
+    C = k_side.shape[1]
+    M = H // KV
+    qf = q.astype(jnp.float32).reshape(B, KV, M, D)
+    inv = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    ksf = _deq(k_side, k_ss)
+    vsf = _deq(v_side, v_ss)
+    scores_s = jnp.einsum(
+        "bkmd,bckd->bkmc", qf, ksf, precision=jax.lax.Precision.HIGHEST
+    ) * inv
+    mask_s = (jnp.arange(C, dtype=jnp.int32)[None, :]
+              <= offsets[:, None])                       # [B, C]
+
+    def attend(kc, vc, ks, vs):
+        s = kc.shape[1]
+        kf = _deq(kc, ks)
+        scores_m = jnp.einsum(
+            "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+        ) * inv
+        mask_m = (jnp.arange(s, dtype=jnp.int32)[None, :]
+                  < base_pos[:, None])                    # [B, s]
+        scores = jnp.concatenate([scores_m, scores_s], axis=-1)
+        mask = jnp.concatenate([mask_m, mask_s], axis=-1)[:, None, None, :]
+        probs = _masked_softmax(scores, mask)
+        out = jnp.einsum(
+            "bkms,bskd->bkmd", probs[..., :s], _deq(vc, vs),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + jnp.einsum(
+            "bkmc,bckd->bkmd", probs[..., s:], vsf,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.reshape(B, H, D)
+
+    # main rows needed: idx < max(base_pos) -> highest index max(base)-1
+    return _bucketed(attend, jnp.max(base_pos) - 1, S,
+                     (k_main, v_main, k_ms, v_ms))
+
+
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                   q_positions: jnp.ndarray, k_s=None, v_s=None) -> jnp.ndarray:
     """Dense masked GQA attention against the full cache.

@@ -32,6 +32,7 @@ import numpy as np
 from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.models import forward, init_kv_cache, load_params
 from qwen3_tpu.models.qwen3 import decode_forward_impl
+from qwen3_tpu.runtime import kvcache
 from qwen3_tpu.runtime.sampler import (
     Sampler,
     clamp_temperature,
@@ -62,24 +63,34 @@ class BatchCarry(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "attn", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos", "top_k"),
+                     "greedy", "bos", "eos", "top_k", "use_side"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
                          rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
                          attn: str = "dense",
                          temperature: float, top_p: float, greedy: bool,
-                         bos: int, eos: int, top_k: int = 0):
+                         bos: int, eos: int, top_k: int = 0,
+                         use_side: bool = False):
     """Up to `chunk` decode steps over all live slots.
 
     token/pos/limit/done/rng_*: per-slot [B] arrays. A slot stops emitting at
     BOS/EOS or when its position reaches its limit; its RNG and position then
     freeze so per-stream reproducibility is independent of batch-mates.
 
+    use_side: stage the chunk's K/V rows in side buffers written at a uniform
+    step index instead of scattering B rows into the main cache every step
+    (which serializes into B x 2 x L tiny slice-updates — the 64-stream
+    bottleneck), then merge each slot's rows back once per chunk. Requires a
+    cache allocated with `chunk` extra rows (BatchedEngine does this) so a
+    slot near seq_len can merge without clamping. Two-segment attention
+    matches single-buffer attention up to fp32 reduction order.
+
     Returns (out [B, K+2] packed with (tokens.., n_live_steps, all_done),
     k, v, token, pos, done, rng_hi, rng_lo).
     """
     B = token.shape[0]
+    base_pos = pos  # frozen for the chunk (side mode)
 
     def cond(c: BatchCarry):
         return (c.step < chunk) & ~jnp.all(c.done)
@@ -92,15 +103,23 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
 
         out = c.out.at[:, c.step].set(jnp.where(emit, c.token, -1))
 
-        # done slots still flow through the batched forward (their rows are
-        # wasted work but keep shapes static); clamp their write position
-        # into range — the overwritten slot belongs to a finished stream and
-        # is re-prefilled before any reuse
-        S = jax.tree.leaves(c.k_cache)[0].shape[2]
-        write_pos = jnp.minimum(c.pos, S - 1)
-        logits, kc, vc = decode_forward_impl(
-            params, cfg, c.token, c.k_cache, c.v_cache, write_pos, mode=mode,
-            attn=attn)
+        if use_side:
+            # c.k_cache/c.v_cache carry the SIDE buffers; the main cache is
+            # closed over read-only (a modified scan/while carry would be
+            # double-buffered by XLA)
+            logits, kc, vc = decode_forward_impl(
+                params, cfg, c.token, k_cache, v_cache, c.pos, mode=mode,
+                attn=attn, side=(c.k_cache, c.v_cache, base_pos, c.step))
+        else:
+            # done slots still flow through the batched forward (their rows
+            # are wasted work but keep shapes static); clamp their write
+            # position into range — the overwritten slot belongs to a
+            # finished stream and is re-prefilled before any reuse
+            S = jax.tree.leaves(c.k_cache)[0].shape[2]
+            write_pos = jnp.minimum(c.pos, S - 1)
+            logits, kc, vc = decode_forward_impl(
+                params, cfg, c.token, c.k_cache, c.v_cache, write_pos,
+                mode=mode, attn=attn)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
         nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy,
                             top_k_hint=top_k)
@@ -114,15 +133,47 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
                           done=newly_done, rng_hi=hi_n, rng_lo=lo_n,
                           k_cache=kc, v_cache=vc, out=out)
 
+    if use_side:
+        carry_k = kvcache.make_side(k_cache, chunk)
+        carry_v = kvcache.make_side(v_cache, chunk)
+    else:
+        carry_k, carry_v = k_cache, v_cache
     init = BatchCarry(
         step=jnp.int32(0), token=token, pos=pos, done=done,
-        rng_hi=rng_hi, rng_lo=rng_lo, k_cache=k_cache, v_cache=v_cache,
+        rng_hi=rng_hi, rng_lo=rng_lo, k_cache=carry_k, v_cache=carry_v,
         out=jnp.full((B, chunk), -1, jnp.int32))
     c = jax.lax.while_loop(cond, body, init)
+
+    if use_side:
+        # merge each slot's chunk rows back into the main cache: one large
+        # contiguous slice-update per slot per buffer, once per chunk.
+        # Rows past a slot's final position carry garbage but sit at
+        # indices >= pos, which nothing reads before they are rewritten.
+        def merge(main, side_buf):
+            def one(m, s):
+                nd = m.ndim
+                for b in range(B):
+                    slab = jax.lax.dynamic_slice(
+                        s, (0, b, 0) + (0,) * (nd - 3),
+                        (s.shape[0], 1, chunk) + s.shape[3:])
+                    m = jax.lax.dynamic_update_slice(
+                        m, slab.astype(m.dtype),
+                        (0, b, base_pos[b]) + (0,) * (nd - 3))
+                return m
+
+            if isinstance(main, tuple):
+                return (one(main[0], side_buf[0]), one(main[1], side_buf[1]))
+            return one(main, side_buf)
+
+        new_k = merge(k_cache, c.k_cache)
+        new_v = merge(v_cache, c.v_cache)
+    else:
+        new_k, new_v = c.k_cache, c.v_cache
+
     packed = jnp.concatenate(
         [c.out, c.pos[:, None],
          c.done.astype(jnp.int32)[:, None]], axis=1)
-    return (packed, c.k_cache, c.v_cache, c.token, c.pos, c.done,
+    return (packed, new_k, new_v, c.token, c.pos, c.done,
             c.rng_hi, c.rng_lo)
 
 
@@ -193,12 +244,14 @@ class BatchedEngine:
                  mode: str = "bf16", temperature: float = 1.0,
                  top_p: float = 0.9, kv_dtype: str = "float32",
                  prefill_bucket: int = 128, decode_chunk: int = 32,
-                 top_k: int = 64, attn: str = "dense"):
+                 top_k: int = 64, attn: str = "dense",
+                 side_buffer: bool = True):
         self.tokenizer = Tokenizer.from_file(path)
         mc, self.params = load_params(path, mode=mode, max_seq_len=seq_len)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
         self.attn = attn
+        self.side_buffer = side_buffer
         self.max_batch = max_batch
         self.temperature = clamp_temperature(temperature)
         self.top_p = clamp_top_p(top_p)
@@ -208,7 +261,10 @@ class BatchedEngine:
         self.top_k = top_k
 
         B = max_batch
-        self._kv = init_kv_cache(self.cfg, B, self.cfg.seq_len,
+        # side-buffer mode merges a full chunk window per slot; the extra
+        # rows absorb the overhang of a slot finishing right at seq_len
+        cache_rows = self.cfg.seq_len + (decode_chunk if side_buffer else 0)
+        self._kv = init_kv_cache(self.cfg, B, cache_rows,
                                  jnp.dtype(kv_dtype))
         self._token = jnp.zeros((B,), jnp.int32)
         self._pos = jnp.zeros((B,), jnp.int32)
@@ -285,7 +341,7 @@ class BatchedEngine:
             temperature=self.temperature, top_p=self.top_p,
             greedy=self.greedy, bos=self.tokenizer.special.bos,
             eos=self.tokenizer.special.eos, top_k=self.top_k,
-            attn=self.attn)
+            attn=self.attn, use_side=self.side_buffer)
         self._kv = (k, v)
         self._token, self._pos, self._done = tok, pos, done
         self._rng_hi, self._rng_lo = hi, lo

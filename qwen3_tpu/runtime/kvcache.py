@@ -38,6 +38,18 @@ def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,
     return one(), one()
 
 
+def make_side(cache, chunk: int):
+    """A chunk side buffer [L, B, chunk, KV, D] in `cache`'s storage repr
+    (zeros; unit scales for int8) — the per-chunk staging area decode writes
+    at a uniform step index (models.decode_forward_impl `side` mode)."""
+    vals, sc = split(cache)
+    L, B, _, KV, D = vals.shape
+    side = jnp.zeros((L, B, chunk, KV, D), vals.dtype)
+    if sc is None:
+        return side
+    return side, jnp.ones((L, B, chunk, KV), jnp.float32)
+
+
 def split(cache):
     """-> (values, scales_or_None)."""
     if isinstance(cache, tuple):

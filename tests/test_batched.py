@@ -57,6 +57,44 @@ def test_streaming_callback(ckpt):
     assert b"".join(chunks) == eng.tokenizer.decode(req.out_ids)
 
 
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_side_buffer_matches_scatter_path(ckpt, kv_dtype):
+    """The chunk side-buffer decode (uniform-step writes + two-segment
+    attention + per-chunk merge) must produce the same streams as the
+    per-step scatter path."""
+    def run(side):
+        eng = BatchedEngine(ckpt, max_batch=3, seq_len=96, mode="exact",
+                            temperature=0.9, top_p=0.9, prefill_bucket=16,
+                            decode_chunk=8, kv_dtype=kv_dtype,
+                            side_buffer=side)
+        reqs = [eng.submit(Request(prompt=p, seed=7 + i, max_tokens=20))
+                for i, p in enumerate(PROMPTS)]
+        eng.run()
+        return [r.prompt_ids + r.out_ids for r in reqs]
+
+    assert run(True) == run(False)
+
+
+def test_side_buffer_merge_at_seq_len_edge(ckpt):
+    """A slot decoding right up to seq_len merges its chunk window into the
+    cache's padding rows without corrupting live rows (multi-chunk run where
+    positions reach the limit mid-chunk)."""
+    eng = BatchedEngine(ckpt, max_batch=2, seq_len=32, mode="exact",
+                        temperature=0.0, prefill_bucket=16, decode_chunk=8,
+                        side_buffer=True)
+    reqs = [eng.submit(Request(prompt=p, seed=i)) for i, p in
+            enumerate(PROMPTS[:3])]  # no max_tokens: run to seq_len/EOS
+    done = eng.run()
+    assert len(done) == 3
+    for r in reqs:
+        assert r.finished
+        assert len(r.prompt_ids) + len(r.out_ids) <= 32
+        want = single_stream(ckpt, r.prompt, r.seed, 0.0, None)
+        # single_stream uses seq_len 96; compare within this engine's limit
+        got = r.prompt_ids + r.out_ids
+        assert got == want[:len(got)]
+
+
 def test_more_requests_than_slots_all_finish(ckpt):
     eng = BatchedEngine(ckpt, max_batch=2, seq_len=96, mode="exact",
                         temperature=0.0, prefill_bucket=16, decode_chunk=8)
