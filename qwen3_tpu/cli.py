@@ -99,7 +99,7 @@ def main(argv=None) -> int:
     ap.add_argument("-i", default=None)
     ap.add_argument("-y", default=None)
     ap.add_argument("-r", type=int, default=1)
-    ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas"])
+    ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas", "pallas-fast"])
     ap.add_argument("--attn", default="dense", choices=["dense", "flash"],
                     help="decode attention backend (flash = fused Pallas "
                          "online-softmax kernel)")

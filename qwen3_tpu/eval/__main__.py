@@ -18,7 +18,7 @@ def main(argv=None) -> int:
     ap.add_argument("--text", default="-",
                     help="file with evaluation text ('-' = stdin)")
     ap.add_argument("--qmode", default="pallas",
-                    choices=["exact", "bf16", "pallas"])
+                    choices=["exact", "bf16", "pallas", "pallas-fast"])
     ap.add_argument("-c", "--ctx", type=int, default=0)
     args = ap.parse_args(argv)
 

@@ -56,7 +56,7 @@ _LAYER_MATS_FUSED = ("wqkv", "wo", "w13", "w2")  # pallas mode
 
 
 def _mat_names(mode: str):
-    return _LAYER_MATS_FUSED if mode == "pallas" else _LAYER_MATS
+    return _LAYER_MATS_FUSED if mode.startswith("pallas") else _LAYER_MATS
 
 
 def _dequant_bf16_host(q, s, group_size: int):
@@ -126,7 +126,7 @@ def _host_params(w: Q8Weights, mode: str) -> dict:
             p[name + "_t"] = _dequant_bf16_host(
                 getattr(w, name + "_q"), getattr(w, name + "_s"), g)
         p["cls_t"] = _dequant_bf16_host(w.cls_q, w.cls_s, g)
-    elif mode == "pallas":
+    elif mode.startswith("pallas"):
         # int8 weights transposed to [in, out], then repacked into contiguous
         # [J, in, td] d-tiles so each kernel grid block is ONE contiguous HBM
         # DMA (the flat layout gives the vocab matmul only 128B per row)
@@ -202,10 +202,12 @@ def load_params(path: str, mode: str = "bf16",
     cfg = read_header(path)
     if max_seq_len is None:
         max_seq_len = cfg.seq_len
+    # pallas-fast differs only in the kernel, not the packed tensors
+    pack_mode = "pallas" if mode.startswith("pallas") else mode
     st = os.stat(path)
-    meta_want = {"pack_version": _PACK_VERSION, "mode": mode,
+    meta_want = {"pack_version": _PACK_VERSION, "mode": pack_mode,
                  "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns}
-    pack = _Path(f"{path}.pack") / mode
+    pack = _Path(f"{path}.pack") / pack_mode
 
     if cache and (pack / "meta.json").exists():
         import numpy as np
@@ -276,24 +278,38 @@ def _make_linear(mode: str, group_size: int):
             w_q, w_s = layer_w
             xq, xs = quantize_act(x, group_size)
             return q8_matmul_exact(xq, xs, w_q, w_s, group_size)
-    elif mode == "pallas":
+    elif mode.startswith("pallas"):
         import os as _os
 
         import jax as _jax
 
-        from qwen3_tpu.ops.pallas.q8_matmul import q8_q8_matmul_tiled
+        from qwen3_tpu.ops.pallas.q8_matmul import (
+            q8_matmul_tiled_fast,
+            q8_q8_matmul_tiled,
+        )
 
         interpret = _jax.default_backend() == "cpu"
         block_k = int(_os.environ.get("QWEN3_TPU_PALLAS_BK", "512"))
 
-        # Reference-exact integer math: quantize activations per group
-        # (src/forward.c:259), then int8 x int8 group dots in the kernel
-        # over the tile-repacked weight layout (see init_params).
-        def linear(x, layer_w):
-            w_qt, w_st = layer_w
-            xq, xs = quantize_act(x, group_size)
-            return q8_q8_matmul_tiled(xq, xs, w_qt, w_st, group_size,
-                                      block_k=block_k, interpret=interpret)
+        if mode == "pallas-fast":
+            # serving throughput: same packed int8 weights and HBM traffic,
+            # but bf16 activations straight in and in-VMEM bf16 weight
+            # dequant feeding full-K MXU dots (quality class of bf16 mode)
+            def linear(x, layer_w):
+                w_qt, w_st = layer_w
+                return q8_matmul_tiled_fast(x, w_qt, w_st, group_size,
+                                            block_k=block_k,
+                                            interpret=interpret)
+        else:
+            # reference-exact integer math: quantize activations per group
+            # (src/forward.c:259), then int8 x int8 group dots in the
+            # kernel over the tile-repacked weight layout (see init_params)
+            def linear(x, layer_w):
+                w_qt, w_st = layer_w
+                xq, xs = quantize_act(x, group_size)
+                return q8_q8_matmul_tiled(xq, xs, w_qt, w_st, group_size,
+                                          block_k=block_k,
+                                          interpret=interpret)
     else:
         def linear(x, layer_w):
             (w_t,) = layer_w
@@ -357,7 +373,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
         h = rmsnorm(x, xs["att_norm"])
-        if mode == "pallas":
+        if mode.startswith("pallas"):
             qkv = linear(h, lw("wqkv"))
             q = qkv[..., :H * D].reshape(B, T, H, D)
             k = qkv[..., H * D:(H + KV) * D].reshape(B, T, KV, D)
@@ -395,7 +411,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         x = x + linear(att.reshape(B, T, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
-        if mode == "pallas":
+        if mode.startswith("pallas"):
             gu = linear(h, lw("w13"))
             gate = gu[..., :cfg.hidden_dim]
             up = gu[..., cfg.hidden_dim:2 * cfg.hidden_dim]
@@ -488,7 +504,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
         h = rmsnorm(x, xs["att_norm"])
-        if mode == "pallas":
+        if mode.startswith("pallas"):
             qkv = linear(h, lw("wqkv"))
             q = qkv[..., :H * D].reshape(B, 1, H, D)
             k = qkv[..., H * D:(H + KV) * D].reshape(B, 1, KV, D)
@@ -561,16 +577,19 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             # main cache read-only from the closure (a scan carry would
             # double-buffer it); flash doesn't know side buffers yet, so
             # `side` always uses the dense two-segment path
-            kml = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
-            vml = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
-            att = gqa_attention_two_segment(
-                q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
-                k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
+            if attn == "none":  # debug: isolate attention cost in benches
+                att = jnp.zeros((B, H, D), jnp.float32)
+            else:
+                kml = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
+                vml = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
+                att = gqa_attention_two_segment(
+                    q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
+                    k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
 
         x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
 
         h = rmsnorm(x, xs["ffn_norm"])
-        if mode == "pallas":
+        if mode.startswith("pallas"):
             gu = linear(h, lw("w13"))
             gate = gu[..., :cfg.hidden_dim]
             up = gu[..., cfg.hidden_dim:2 * cfg.hidden_dim]

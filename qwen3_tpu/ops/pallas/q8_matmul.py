@@ -206,6 +206,89 @@ def _kernel_q8q8_tiled(xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
     out_ref[:] += acc
 
 
+def _kernel_q8_tiled_fast(xf_ref, wq_ref, ws_ref, out_ref, *,
+                          group_size: int):
+    """Serving-throughput variant of _kernel_q8q8_tiled: dequantize the
+    weight tile to bf16 in VMEM (int8 magnitudes are exact in bf16; the
+    group-scale product rounds to bf16 — same quality class as the bf16
+    weight-only mode), take bf16 activations directly (no activation
+    quantization round-trip), and run ONE full-K MXU dot per tile.
+
+    The exact kernel's per-group K=64 int8 dots run the MXU at ~25%
+    utilization; at decode B=1 that is irrelevant (bandwidth-bound), but at
+    serving batch 64 the step is compute-bound and the small dots dominated
+    the whole forward (36 ms of a 74 ms step on Qwen3-4B). Weight HBM
+    traffic is identical to the exact kernel (int8 + group scales).
+
+    The weight reshape splits the sublane axis only (tk -> gpt x g); lane
+    (td) stays intact — lane-splitting reshapes are unsupported by Mosaic,
+    which is why the activations arrive pre-scaled instead of as (q8,
+    scales)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g
+
+    w = wq_ref[0].astype(jnp.float32).reshape(gpt, g, td)
+    w = (w * ws_ref[0][:, None, :]).reshape(tk, td).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(xf_ref[...], w, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "interpret"),
+)
+def q8_matmul_tiled_fast(x: jnp.ndarray, w_qt: jnp.ndarray,
+                         w_st: jnp.ndarray, group_size: int,
+                         block_k: int = 512,
+                         interpret: bool = False) -> jnp.ndarray:
+    """bf16 activations x tile-repacked Q8_0 weights, dequantized in VMEM.
+
+    x: float [..., n]; w_qt: int8 [J, n, td]; w_st: f32 [J, n/G, td]
+    -> out f32 [..., J*td]. See _kernel_q8_tiled_fast.
+    """
+    *lead, n = x.shape
+    j, _, td = w_qt.shape
+    d = j * td
+    xb = x.reshape(-1, n).astype(jnp.bfloat16)
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    assert n % tk == 0, (n, tk)
+
+    grid = (j, n // tk)
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8_tiled_fast, group_size=group_size),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk // group_size, td), lambda j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d
+            + 2 * b * n + 4 * b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xb, w_qt, w_st)
+    return out.reshape(*lead, d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "block_k", "interpret"),
@@ -218,6 +301,9 @@ def q8_q8_matmul_tiled(x_q: jnp.ndarray, x_s: jnp.ndarray,
 
     x_q: int8 [..., n]; x_s: f32 [..., n/G]
     w_qt: int8 [J, n, td]; w_st: f32 [J, n/G, td] -> out f32 [..., J*td]
+
+    Reference-exact integer math (int32 group dots); the serving-throughput
+    alternative is q8_matmul_tiled_fast.
     """
     *lead, n = x_q.shape
     j, _, td = w_qt.shape

@@ -42,7 +42,7 @@ class EngineConfig:
     temperature: float = 1.0
     top_p: float = 0.9
     seq_len: int = 0               # 0 -> min(checkpoint max, 32768) like the CLI
-    mode: str = "bf16"             # "exact" | "bf16" | "pallas"
+    mode: str = "bf16"             # "exact" | "bf16" | "pallas" | "pallas-fast"
     attn: str = "dense"            # "dense" | "flash" (decode attention)
     kv_dtype: str = "float32"
     prefill_chunk: int = 64
