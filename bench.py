@@ -1,21 +1,29 @@
 """Benchmark: decode tokens/s on the flagship config, TPU vs. the reference
 C engine on the same synthetic Q8_0 checkpoint.
 
-Prints ONE JSON line:
+Prints ONE JSON line at the end:
   {"metric": "decode_tok_s_per_chip", "value": N, "unit": "tok/s",
    "vs_baseline": ratio, ...extras}
 
-- The checkpoint is synthetic (random Q8 weights with real architecture
-  shapes — tokens/s does not depend on weight values) and cached under
-  .cache/. The reference engine runs on the *same* file, so the baseline is
-  measured, not assumed (the reference publishes no numbers; see BASELINE.md).
-- Baseline timing uses the reference's own [tg]/[t/ms] counters from chat
-  mode (its only built-in measurement) and is cached in .cache/ because the
-  single-core C run is slow.
+Cold-start structure (the driver runs this with a hard timeout): the
+dominant cold cost on the tunneled TPU runtime is host->device parameter
+transfer (~10-45 MB/s — a 4.7 GB 4B checkpoint is minutes; XLA compiles are
+seconds), so the default path generates the packed parameter pytree ON
+DEVICE (io/device_synth.py — same shapes/dtypes/layout as the pack loader,
+asserted by tests/test_device_synth.py; kernel timing is weight-value
+independent, the checkpoint is synthetic/random either way). The C-engine
+baseline runs on the real synthetic .bin and is cached in .cache/ because
+the single-core C run is slow.
 
-Env knobs: BENCH_PRESET (default qwen3-4b), BENCH_CTX (default 1024),
-BENCH_DECODE_TOKENS (default 128), BENCH_QMODE (default pallas — the fused
-int8 kernel path), BENCH_SKIP_BASELINE=1.
+Phases run in budget order (headline decode first); later phases are
+skipped when the remaining BENCH_BUDGET_S cannot fit them.
+
+Env knobs: BENCH_PRESET (default qwen3-4b), BENCH_CTX (1024),
+BENCH_DECODE_TOKENS (256), BENCH_QMODE (pallas — the reference-exact fused
+int8 kernel), BENCH_DECODE_CHUNK (128), BENCH_BATCH (8), BENCH_BUDGET_S
+(480), BENCH_FROM_CKPT=1 (load the real pack instead of device-synth),
+BENCH_RUN_BASELINE=1 (re-measure the C engine even if uncached),
+BENCH_SKIP_BATCHED / BENCH_SKIP_PREFILL =1.
 """
 
 from __future__ import annotations
@@ -34,100 +42,177 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(CACHE / "jaxcache"))
 PRESET = os.environ.get("BENCH_PRESET", "qwen3-4b")
 CTX = int(os.environ.get("BENCH_CTX", "1024"))
 N_DECODE = int(os.environ.get("BENCH_DECODE_TOKENS", "256"))
+QMODE = os.environ.get("BENCH_QMODE", "pallas")
+BATCH_QMODE = os.environ.get("BENCH_BATCH_QMODE", "pallas-fast")
+DECODE_CHUNK = int(os.environ.get("BENCH_DECODE_CHUNK", "128"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 PROMPT = "the thinker thought the thought and the thought thought in the thinker"
+T_START = time.time()
 
 
 def log(msg: str) -> None:
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    print(f"[bench +{time.time()-T_START:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
-def ensure_artifacts() -> str:
-    from qwen3_tpu.config import PRESETS
-    from qwen3_tpu.io.checkpoint import write_checkpoint
-    from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def ensure_tokenizer(vocab_size: int) -> str | None:
+    """Synthetic tokenizer binary for the preset (cheap, cached)."""
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer
     from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
-    import dataclasses
 
     CACHE.mkdir(exist_ok=True)
-    path = CACHE / f"{PRESET}.bin"
-    if not path.exists() or not Path(str(path) + ".tokenizer").exists():
-        log(f"generating synthetic {PRESET} checkpoint (one-time)...")
-        cfg = dataclasses.replace(PRESETS[PRESET], seq_len=max(CTX, 2048))
-        t0 = time.time()
-        write_checkpoint(str(path), synthetic_weights(cfg, seed=0))
-        write_tokenizer_bin(str(path) + ".tokenizer",
-                            synthetic_tokenizer(cfg.vocab_size))
-        log(f"wrote {path} ({path.stat().st_size/1e9:.2f} GB, "
-            f"{time.time()-t0:.0f}s)")
+    path = CACHE / f"{PRESET}.bin.tokenizer"
+    if not path.exists():
+        write_tokenizer_bin(str(path), synthetic_tokenizer(vocab_size))
     return str(path)
 
 
-def measure_engine(ckpt: str) -> dict:
+def ensure_checkpoint() -> str | None:
+    """Full synthetic .bin — only needed for the C baseline / FROM_CKPT
+    paths; multi-GB generation is minutes on the 1-core host."""
+    import dataclasses
+
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_weights
+
+    path = CACHE / f"{PRESET}.bin"
+    if path.exists():
+        return str(path)
+    if remaining() < 600:
+        return None
+    log(f"generating synthetic {PRESET} checkpoint (one-time)...")
+    cfg = dataclasses.replace(PRESETS[PRESET], seq_len=max(CTX, 2048))
+    write_checkpoint(str(path), synthetic_weights(cfg, seed=0))
+    return str(path)
+
+
+def get_params():
+    """(cfg, params) — device-synthesized by default, real pack with
+    BENCH_FROM_CKPT=1."""
+    from qwen3_tpu.config import PRESETS
+
+    cfg = PRESETS[PRESET].with_seq_len(CTX)
+    if os.environ.get("BENCH_FROM_CKPT") == "1":
+        from qwen3_tpu.models import load_params
+
+        ckpt = ensure_checkpoint()
+        log(f"loading packed params from {ckpt} (slow: tunnel transfer)...")
+        cfg2, params = load_params(ckpt, mode=QMODE, max_seq_len=CTX)
+        return cfg2.with_seq_len(CTX), params
+    from qwen3_tpu.io.device_synth import synth_device_params
+
+    log("generating packed params on device...")
+    return cfg, synth_device_params(cfg, CTX, seed=0)
+
+
+def special_ids(vocab_size: int) -> tuple[int, int]:
+    try:
+        from qwen3_tpu.tokenizer import Tokenizer
+
+        tok = Tokenizer.from_file(str(CACHE / f"{PRESET}.bin"))
+        return tok.special.bos, tok.special.eos
+    except Exception:
+        return vocab_size - 10, vocab_size - 9
+
+
+def measure_decode(cfg, params) -> float:
+    """Single-stream decode tok/s via the Engine's own fused chunk program
+    (runtime/decode_loop.py), compiled with the Engine's static args."""
+    import jax.numpy as jnp
     import numpy as np
 
-    from qwen3_tpu.runtime.engine import Engine, EngineConfig
+    from qwen3_tpu.models import init_kv_cache
+    from qwen3_tpu.runtime.decode_loop import decode_chunk
+    from qwen3_tpu.runtime.xorshift import seed_to_device
 
-    greedy = os.environ.get("BENCH_GREEDY", "1") == "1"
-    eng = Engine(EngineConfig(
-        path=ckpt, seed=3, temperature=0.0 if greedy else 0.8, top_p=0.9,
-        seq_len=CTX, mode=os.environ.get("BENCH_QMODE", "pallas"),
-        kv_dtype="bfloat16", prefill_chunk=64,
-        # 128-token chunks halve the ~26ms-per-dispatch tunnel overhead vs 64:
-        # 1.7B decode measured 210 vs 191 tok/s
-        decode_chunk=int(os.environ.get("BENCH_DECODE_CHUNK", "128")),
-    ))
-    tok = eng.tokenizer
-    ids = tok.encode(PROMPT)
+    bos, eos = special_ids(cfg.vocab_size)
+    kwargs = dict(cfg=cfg, mode=QMODE, chunk=DECODE_CHUNK, temperature=0.0,
+                  top_p=0.9, greedy=True, bos=bos, eos=eos,
+                  emit_at_limit=False, top_k=64, attn="dense")
+    k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
+    hi, lo = seed_to_device(3)
+    tok = jnp.asarray([7], jnp.int32)
+    pos = jnp.int32(0)
+    limit = jnp.int32(CTX)
 
-    # --- warmup / compile (block_until_ready is unreliable on tunneled
-    # runtimes, so every measurement synchronizes via a host fetch)
-    log("compiling prefill + decode...")
+    log("compiling + warming decode chunk...")
     t0 = time.time()
-    res = eng.generate(PROMPT, max_tokens=2 * eng.cfg.decode_chunk)
-    eng.reset(batch=1)
-    _ = np.asarray(eng._prefill(ids, 0)[0, :8])  # warm prefill+sync path
-    log(f"compile+warmup {time.time()-t0:.1f}s "
-        f"({res.n_generated} tokens warm)")
+    packed, k, v, tok, pos, hi, lo = decode_chunk(params, k, v, tok, pos,
+                                                  limit, hi, lo, **kwargs)
+    _ = np.asarray(packed)
+    log(f"decode compile+warm {time.time()-t0:.1f}s")
 
-    # --- prefill throughput: time chunked prefill with one final fetch
-    eng.reset(batch=1)
+    emitted = 0
+    t0 = time.perf_counter()
+    while emitted < N_DECODE:
+        packed, k, v, tok, pos, hi, lo = decode_chunk(params, k, v, tok, pos,
+                                                      limit, hi, lo, **kwargs)
+        arr = np.asarray(packed)  # the one host sync per chunk
+        n, done = int(arr[-2]), bool(arr[-1])
+        emitted += n
+        if done or n == 0:
+            break
+    dt = time.perf_counter() - t0
+    tok_s = emitted / dt
+    log(f"decode: {tok_s:.2f} tok/s ({dt*1e3/max(emitted,1):.2f} ms/tok, "
+        f"{emitted} tokens)")
+    return tok_s
+
+
+def measure_prefill(cfg, params) -> float:
+    """Chunked prefill tok/s through the Engine's prefill program (logits at
+    the last valid position only)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tpu.models import forward, init_kv_cache
+
+    chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "64"))
+    k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
+    toks = jnp.full((1, chunk), 7, jnp.int32)
+    n_chunks = min(CTX // chunk, 8)
+
+    log("compiling prefill...")
+    lg, k, v = forward(params, cfg, toks, k, v, jnp.int32(0), mode=QMODE,
+                       last_pos=jnp.int32(chunk - 1))
+    _ = np.asarray(lg[0, 0, :8])
+
     reps = 4
-    n_chunks = -(-len(ids) // 64)
     t0 = time.perf_counter()
     for _ in range(reps):
-        logits = eng._prefill(ids, 0)
-    _ = np.asarray(logits[0, :8])  # sync
-    prefill_tok_s = reps * n_chunks * 64 / (time.perf_counter() - t0)
-
-    # --- decode throughput: fresh generation, timed portion excludes prefill
-    t0 = time.perf_counter()
-    res = eng.generate(PROMPT, max_tokens=N_DECODE)
-    dt = res.generate_ms / 1e3
-    n = res.n_generated
-    decode_tok_s = n / dt
-    log(f"decode: {decode_tok_s:.2f} tok/s ({dt*1e3/max(n,1):.2f} ms/tok, "
-        f"{n} tokens), prefill: {prefill_tok_s:.1f} tok/s")
-    return {"decode_tok_s": decode_tok_s, "prefill_tok_s": prefill_tok_s}
+        for c in range(n_chunks):
+            lg, k, v = forward(params, cfg, toks, k, v,
+                               jnp.int32(c * chunk), mode=QMODE,
+                               last_pos=jnp.int32(chunk - 1))
+    _ = np.asarray(lg[0, 0, :8])
+    tok_s = reps * n_chunks * chunk / (time.perf_counter() - t0)
+    log(f"prefill: {tok_s:.1f} tok/s")
+    return tok_s
 
 
-def measure_batched(ckpt: str) -> float | None:
+def measure_batched(cfg, params) -> float | None:
     """Aggregate decode tok/s with continuous batching (BASELINE config #4,
     scaled to one chip's HBM)."""
-    if os.environ.get("BENCH_SKIP_BATCHED") == "1":
-        return None
     from qwen3_tpu.runtime.batched import BatchedEngine, Request
 
+    tok_path = ensure_tokenizer(cfg.vocab_size)
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_tok = int(os.environ.get("BENCH_BATCH_TOKENS", "64"))
     eng = BatchedEngine(
-        ckpt, max_batch=batch, seq_len=512,
+        str(CACHE / f"{PRESET}.bin"), max_batch=batch, seq_len=512,
         # serving-throughput kernel by default (quality class of bf16 mode);
         # single-stream measurement keeps the reference-exact kernel
-        mode=os.environ.get("BENCH_QMODE", "pallas-fast"),
-        temperature=0.0,
+        mode=BATCH_QMODE, temperature=0.0,
         kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32,
         attn=os.environ.get("BENCH_ATTN", "dense"),
-        side_buffer=os.environ.get("BENCH_SIDE", "1") == "1")
+        side_buffer=os.environ.get("BENCH_SIDE", "1") == "1",
+        model_cfg=cfg, params=params)
+    assert tok_path is not None
 
     def run() -> float:
         reqs = [eng.submit(Request(prompt=PROMPT + f" {i}", seed=i,
@@ -141,7 +226,8 @@ def measure_batched(ckpt: str) -> float | None:
     log(f"batched: compiling (batch={batch})...")
     run()  # compile + warm
     tok_s = run()
-    log(f"batched decode: {tok_s:.1f} tok/s aggregate over {batch} streams")
+    log(f"batched decode: {tok_s:.1f} tok/s aggregate over {batch} streams "
+        f"(mode={BATCH_QMODE})")
     return tok_s
 
 
@@ -167,8 +253,9 @@ def build_reference() -> Path | None:
         return None
 
 
-def measure_baseline(ckpt: str) -> float | None:
-    """Reference C engine tok/s on this host.
+def measure_baseline() -> float | None:
+    """Reference C engine tok/s on this host (cached — the single-core run
+    is minutes).
 
     The reference's own [pp/tg] counters only print when a turn ends in EOS
     (src/completion.c:327-340) — random-weight greedy streams never do — so
@@ -180,8 +267,12 @@ def measure_baseline(ckpt: str) -> float | None:
     cache_file = CACHE / f"baseline_{PRESET}.json"
     if cache_file.exists():
         return json.loads(cache_file.read_text())["decode_tok_s"]
+    if os.environ.get("BENCH_RUN_BASELINE") != "1" and remaining() < 1200:
+        log("no cached C baseline and not enough budget to measure one")
+        return None
+    ckpt = ensure_checkpoint()
     exe = build_reference()
-    if exe is None:
+    if exe is None or ckpt is None:
         return None
     c_lo = int(os.environ.get("BENCH_BASELINE_CTX_LO", "32"))
     c_hi = int(os.environ.get("BENCH_BASELINE_CTX_HI", "160"))
@@ -212,40 +303,43 @@ def measure_baseline(ckpt: str) -> float | None:
 
 
 def main() -> None:
-    ckpt = ensure_artifacts()
-    if os.environ.get("BENCH_SKIP_ENGINE") == "1":  # batched-only run
-        tok_s = measure_batched(ckpt)
-        print(json.dumps({
-            "metric": "batched_decode_tok_s",
-            "value": round(tok_s or 0.0, 1), "unit": "tok/s",
-            "vs_baseline": None, "preset": PRESET,
-            "batch": int(os.environ.get("BENCH_BATCH", "8")),
-        }))
-        return
-    ours = measure_engine(ckpt)
+    result: dict = {"metric": "decode_tok_s_per_chip", "value": None,
+                    "unit": "tok/s", "vs_baseline": None, "preset": PRESET,
+                    "ctx": CTX, "qmode": QMODE,
+                    "params": ("ckpt" if os.environ.get("BENCH_FROM_CKPT")
+                               == "1" else "device-synth")}
     try:
-        batched = measure_batched(ckpt)
-    except Exception as e:
-        log(f"batched bench failed: {e}")
-        batched = None
-    baseline = None
-    if os.environ.get("BENCH_SKIP_BASELINE") != "1":
+        cfg, params = get_params()
+        result["value"] = round(measure_decode(cfg, params), 2)
+        if (os.environ.get("BENCH_SKIP_PREFILL") != "1"
+                and remaining() > 60):
+            try:
+                result["prefill_tok_s"] = round(measure_prefill(cfg, params),
+                                                1)
+            except Exception as e:
+                log(f"prefill bench failed: {e}")
+        if (os.environ.get("BENCH_SKIP_BATCHED") != "1"
+                and remaining() > 90):
+            try:
+                result["batched_tok_s"] = measure_batched(cfg, params)
+                result["batched_qmode"] = BATCH_QMODE
+                if result["batched_tok_s"]:
+                    result["batched_tok_s"] = round(result["batched_tok_s"],
+                                                    1)
+            except Exception as e:
+                log(f"batched bench failed: {e}")
         try:
-            baseline = measure_baseline(ckpt)
+            baseline = measure_baseline()
         except Exception as e:  # baseline failure must not sink the bench
             log(f"baseline failed: {e}")
-    vs = (ours["decode_tok_s"] / baseline) if baseline else None
-    print(json.dumps({
-        "metric": "decode_tok_s_per_chip",
-        "value": round(ours["decode_tok_s"], 2),
-        "unit": "tok/s",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "prefill_tok_s": round(ours["prefill_tok_s"], 1),
-        "batched_tok_s": round(batched, 1) if batched else None,
-        "baseline_tok_s": round(baseline, 3) if baseline else None,
-        "preset": PRESET, "ctx": CTX,
-        "qmode": os.environ.get("BENCH_QMODE", "pallas"),
-    }))
+            baseline = None
+        if baseline:
+            result["baseline_tok_s"] = round(baseline, 3)
+            if result["value"]:
+                result["vs_baseline"] = round(result["value"] / baseline, 2)
+    finally:
+        log(f"total wall {time.time()-T_START:.1f}s")
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -326,8 +326,15 @@ def _layer_weights(p: Params, mode: str, name: str):
 def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                  k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  start_pos: jnp.ndarray, *, mode: str = "bf16",
-                 all_logits: bool = False, attn: str = "dense"):
+                 all_logits: bool = False, attn: str = "dense",
+                 last_pos=None):
     """Run a [B, T] block of tokens starting at absolute position `start_pos`.
+
+    `last_pos` (traced i32, optional): position within the block whose
+    logits to return when `all_logits` is False — lets a padded tail chunk
+    ask for its last *valid* position without recompiling per prompt length
+    (the reference computes the full-vocab matmul for every prompt token,
+    src/completion.c:57-66; we compute exactly one).
 
     Returns (logits [B, T, V] or [B, 1, V], new_k_cache, new_v_cache).
     """
@@ -428,7 +435,10 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     x = rmsnorm(x, p["out_norm"])
     if not all_logits:
-        x = x[:, -1:, :]
+        if last_pos is None:
+            x = x[:, -1:, :]
+        else:
+            x = lax.dynamic_slice_in_dim(x, last_pos, 1, axis=1)
     logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     return logits, new_k, new_v
 

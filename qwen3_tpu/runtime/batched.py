@@ -202,11 +202,10 @@ def prefill_into_slot(params, k_cache, v_cache, tokens, n_valid, slot,
 
     logits, kr, vr = forward_impl(params, cfg, tokens[None, :], kv_rows,
                                   vv_rows, jnp.int32(0), mode=mode,
-                                  all_logits=True)
+                                  last_pos=n_valid - 1)
     k_cache = jax.tree.map(put_row, k_cache, kr)
     v_cache = jax.tree.map(put_row, v_cache, vr)
-    last = jnp.take_along_axis(
-        logits[0], (n_valid - 1)[None, None], axis=0)[0]   # [V]
+    last = logits[0, 0]                                    # [V]
 
     def burn(_, s):
         hi, lo, _c = xorshift_coin_device(s[0], s[1])
@@ -245,10 +244,26 @@ class BatchedEngine:
                  top_p: float = 0.9, kv_dtype: str = "float32",
                  prefill_bucket: int = 128, decode_chunk: int = 32,
                  top_k: int = 64, attn: str = "dense",
-                 side_buffer: bool = True):
+                 side_buffer: bool = True,
+                 model_cfg: ModelConfig | None = None, params=None):
+        """`model_cfg`/`params` inject an already-on-device parameter pytree
+        (e.g. bench.py's device-synthesized params), skipping the checkpoint
+        load; `path` is then only read for the `.tokenizer` sidecar."""
         self.tokenizer = Tokenizer.from_file(path)
-        mc, self.params = load_params(path, mode=mode, max_seq_len=seq_len)
+        if params is not None:
+            assert model_cfg is not None, "params injection needs model_cfg"
+            mc, self.params = model_cfg, params
+        else:
+            mc, self.params = load_params(path, mode=mode,
+                                          max_seq_len=seq_len)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
+        if attn == "flash" and side_buffer:
+            # decode_forward_impl's side path always runs dense two-segment
+            # attention (flash can't read the side buffers yet); fail loudly
+            # instead of silently ignoring the flag
+            raise ValueError(
+                "attn='flash' requires side_buffer=False: the side-buffer "
+                "decode path only implements dense two-segment attention")
         self.mode = mode
         self.attn = attn
         self.side_buffer = side_buffer

@@ -104,13 +104,15 @@ class Engine:
             block = ids[off:off + chunk]
             n_valid = len(block)
             # pad the tail chunk; padded rows only write cache slots beyond
-            # the prompt, which decode overwrites before ever reading them
+            # the prompt, which decode overwrites before ever reading them.
+            # Only the last valid position's logits are computed (last_pos) —
+            # one vocab-matmul row per chunk, not `chunk` of them.
             block = block + [0] * (chunk - n_valid)
             toks = jnp.asarray([block], jnp.int32)
             lg, k, v = forward(self.params, cfg, toks, k, v,
                                jnp.int32(start_pos + off), mode=self.cfg.mode,
-                               all_logits=True)
-            logits = lg[:, n_valid - 1]
+                               last_pos=jnp.int32(n_valid - 1))
+            logits = lg[:, 0]
         self._kv = (k, v)
         return logits  # [1, V]
 
