@@ -327,7 +327,8 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                  k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  start_pos: jnp.ndarray, *, mode: str = "bf16",
                  all_logits: bool = False, attn: str = "dense",
-                 last_pos=None):
+                 last_pos=None, axis_name: str | None = None,
+                 out_vocab: int | None = None):
     """Run a [B, T] block of tokens starting at absolute position `start_pos`.
 
     `last_pos` (traced i32, optional): position within the block whose
@@ -336,11 +337,20 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     (the reference computes the full-vocab matmul for every prompt token,
     src/completion.c:57-66; we compute exactly one).
 
+    `axis_name`: when running tensor-parallel under `jax.shard_map`
+    (parallel/tp.py), the mesh axis to reduce over. `cfg` then holds the
+    LOCAL shard dims (n_heads/tp, n_kv_heads/tp, hidden/tp, vocab/tp);
+    attention and the FFN are head-/hidden-sharded so the only collectives
+    are one psum after each row-parallel matmul (wo, w2) and one tiled
+    all-gather of the vocab-sharded logits, sliced to `out_vocab` (the true
+    global vocab; per-shard tile padding sits between shard segments).
+
     Returns (logits [B, T, V] or [B, 1, V], new_k_cache, new_v_cache).
     """
     B, T = tokens.shape
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     linear = _make_linear(mode, cfg.group_size)
+    reduce_ = (lambda y: lax.psum(y, axis_name)) if axis_name else (lambda y: y)
 
     x = _embed(p, cfg, tokens)  # [B, T, dim] fp32
 
@@ -415,7 +425,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                          jnp.broadcast_to(positions, (B,)), ks, vs)[:, None]
         else:
             att = gqa_attention(q, kl, vl, positions, ks, vs)  # [B,T,H,D]
-        x = x + linear(att.reshape(B, T, H * D), lw("wo"))
+        x = x + reduce_(linear(att.reshape(B, T, H * D), lw("wo")))
 
         h = rmsnorm(x, xs["ffn_norm"])
         if mode.startswith("pallas"):
@@ -425,7 +435,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             gate = linear(h, lw("w1"))
             up = linear(h, lw("w3"))
-        x = x + linear(swiglu(gate, up), lw("w2"))
+        x = x + reduce_(linear(swiglu(gate, up), lw("w2")))
         return (x, (k_vals, v_vals, k_sc, v_sc), l + 1), None
 
     init = (x, (k_vals, v_vals, k_sc, v_sc), jnp.int32(0))
@@ -440,18 +450,26 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             x = lax.dynamic_slice_in_dim(x, last_pos, 1, axis=1)
     logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
+    if axis_name is not None:
+        # vocab-sharded classifier: concatenate shard segments over the mesh
+        logits = lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+        if out_vocab is not None:
+            logits = logits[..., :out_vocab]
     return logits, new_k, new_v
 
 
 forward = functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "all_logits", "attn")
+    jax.jit, static_argnames=("cfg", "mode", "all_logits", "attn",
+                              "axis_name", "out_vocab")
 )(forward_impl)
 
 
 def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                         positions: jnp.ndarray, *, mode: str = "bf16",
-                        attn: str = "dense", side=None):
+                        attn: str = "dense", side=None,
+                        axis_name: str | None = None,
+                        out_vocab: int | None = None):
     """Batched single-token decode with *per-slot* positions.
 
     tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
@@ -471,6 +489,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     linear = _make_linear(mode, cfg.group_size)
+    reduce_ = (lambda y: lax.psum(y, axis_name)) if axis_name else (lambda y: y)
 
     x = _embed(p, cfg, tokens[:, None])          # [B, 1, dim]
     cos = jnp.take(p["rope_cos"], positions, axis=0,
@@ -596,7 +615,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
                     k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
 
-        x = x + linear(att.reshape(B, 1, H * D), lw("wo"))
+        x = x + reduce_(linear(att.reshape(B, 1, H * D), lw("wo")))
 
         h = rmsnorm(x, xs["ffn_norm"])
         if mode.startswith("pallas"):
@@ -606,7 +625,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             gate = linear(h, lw("w1"))
             up = linear(h, lw("w3"))
-        x = x + linear(swiglu(gate, up), lw("w2"))
+        x = x + reduce_(linear(swiglu(gate, up), lw("w2")))
         return (x, (ck, cv, ck_sc, cv_sc), l + 1), None
 
     init = (x, carry_kvs, jnp.int32(0))
@@ -615,4 +634,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     new_b = kvc.join(cv, cv_sc)
     x = rmsnorm(x, p["out_norm"])
     logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
+    if axis_name is not None:
+        logits = lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+        if out_vocab is not None:
+            logits = logits[..., :out_vocab]
     return logits[:, 0], new_a, new_b

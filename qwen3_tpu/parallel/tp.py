@@ -1,0 +1,284 @@
+"""Tensor-parallel execution of the pallas (fused int8) mode via shard_map.
+
+The GSPMD specs in parallel/sharding.py cover the per-matrix exact/bf16
+layouts, where XLA can propagate a NamedSharding through plain matmuls. The
+pallas perf path instead stores FUSED, TILE-REPACKED weights
+(wqkv = [q|k|v] and w13 = [w1|w3] concatenated along the output axis, then
+split into [J, n, td] HBM-contiguous tiles — models.qwen3._host_params), so
+a tile-axis sharding would cut across the q/k/v and gate/up boundaries and
+GSPMD would have to reshard around every static slice.
+
+The TPU-first answer is to make the PACK shard-aware (Megatron-style TP,
+done at repack time) and run the forward under `jax.shard_map`:
+
+- each shard packs ITS OWN fused [q_shard|k_shard|v_shard] / [w1_s|w3_s]
+  matrices — head groups for attention (n_heads/tp query + n_kv_heads/tp KV
+  heads per shard), hidden/tp rows for the FFN — so inside a shard the
+  kernel layout is identical to the single-chip pack, just smaller;
+- wo / w2 are row-parallel: each shard holds the input-feature slice
+  matching its heads / hidden rows; Q8 group boundaries (64) always align
+  with shard boundaries (head_dim and hidden/tp are multiples of the group
+  size), so per-shard activation quantization groups equal the global ones
+  and the integer math stays reference-exact;
+- the classifier is vocab-sharded; logits are all-gathered tiled and
+  sliced to the true vocab;
+- per layer the only collectives are one psum after wo and one after w2
+  (models.qwen3.forward_impl `axis_name`), riding the ICI ring;
+- the KV cache shards its kv-head axis over "tp" and batch over "dp";
+  tokens/positions/RNG state shard over "dp" only.
+
+The reference engine has no scale-out story at all (single-process OpenMP,
+SURVEY.md §2.3); this module is the TP row of that design table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qwen3_tpu.config import ModelConfig
+from qwen3_tpu.io.checkpoint import Q8Weights
+
+# params-dict keys that carry a leading shard axis [tp, ...]
+TP_SHARDED_KEYS = frozenset(
+    name + part
+    for name in ("wqkv", "w13", "wo", "w2", "cls")
+    for part in ("_q", "_s")
+)
+
+
+def check_tp(cfg: ModelConfig, tp: int) -> None:
+    if tp == 1:
+        return
+    if cfg.n_kv_heads % tp:
+        raise ValueError(f"tp={tp} must divide n_kv_heads={cfg.n_kv_heads}")
+    hl = cfg.hidden_dim // tp
+    if cfg.hidden_dim % tp or hl % cfg.group_size:
+        raise ValueError(
+            f"hidden_dim={cfg.hidden_dim} must split into tp={tp} chunks "
+            f"divisible by group_size={cfg.group_size}")
+    if (cfg.head_dim * cfg.n_heads // tp) % cfg.group_size:
+        raise ValueError("per-shard proj_dim must be divisible by group_size")
+
+
+def local_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """The shard-local architecture: heads, kv heads, hidden rows and vocab
+    columns divided by tp. `vocab_size` becomes the shard's valid column
+    count (global vocab padded up to a tp multiple, then split)."""
+    check_tp(cfg, tp)
+    v_pad = -(-cfg.vocab_size // tp) * tp
+    return dataclasses.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        hidden_dim=cfg.hidden_dim // tp,
+        vocab_size=v_pad // tp,
+    )
+
+
+def tp_host_params(w: Q8Weights, tp: int) -> dict:
+    """Host (numpy) pallas-mode params with TP-shard-aware fused packing.
+
+    Sharded leaves get a LEADING shard axis [tp, ...] (placed with spec
+    P("tp", ...); the shard_map body squeezes it). Replicated leaves (norms,
+    embeddings) are identical to models.qwen3._host_params' output.
+    """
+    from qwen3_tpu.models.qwen3 import _transpose_stacked
+    from qwen3_tpu.ops.pallas.q8_matmul import repack_tiles
+
+    cfg = w.config
+    check_tp(cfg, tp)
+    D = cfg.head_dim
+    Hl, KVl = cfg.n_heads // tp, cfg.n_kv_heads // tp
+    hl = cfg.hidden_dim // tp
+
+    p = {
+        "att_norm": w.att_norm,
+        "ffn_norm": w.ffn_norm,
+        "out_norm": w.out_norm,
+        "q_norm": w.q_norm,
+        "k_norm": w.k_norm,
+        "emb_q": w.emb_q,
+        "emb_s": w.emb_s,
+    }
+
+    def pack(q, s):
+        return repack_tiles(_transpose_stacked(q), _transpose_stacked(s),
+                            cfg.group_size)
+
+    def stack(pairs):
+        qs, ss = zip(*pairs)
+        return np.stack(qs), np.stack(ss)
+
+    def out_rows(a, lo, hi):   # slice the output axis of [L, out, in]
+        return a[..., lo:hi, :]
+
+    # column-parallel fused QKV: shard s owns query heads [s*Hl, (s+1)*Hl)
+    # and kv heads [s*KVl, (s+1)*KVl)
+    p["wqkv_q"], p["wqkv_s"] = stack([
+        pack(
+            np.concatenate([
+                out_rows(w.wq_q, s * Hl * D, (s + 1) * Hl * D),
+                out_rows(w.wk_q, s * KVl * D, (s + 1) * KVl * D),
+                out_rows(w.wv_q, s * KVl * D, (s + 1) * KVl * D),
+            ], axis=-2),
+            np.concatenate([
+                out_rows(w.wq_s, s * Hl * D, (s + 1) * Hl * D),
+                out_rows(w.wk_s, s * KVl * D, (s + 1) * KVl * D),
+                out_rows(w.wv_s, s * KVl * D, (s + 1) * KVl * D),
+            ], axis=-2),
+        )
+        for s in range(tp)
+    ])
+
+    # column-parallel fused FFN in: shard s owns hidden rows [s*hl, (s+1)*hl)
+    p["w13_q"], p["w13_s"] = stack([
+        pack(
+            np.concatenate([out_rows(w.w1_q, s * hl, (s + 1) * hl),
+                            out_rows(w.w3_q, s * hl, (s + 1) * hl)], axis=-2),
+            np.concatenate([out_rows(w.w1_s, s * hl, (s + 1) * hl),
+                            out_rows(w.w3_s, s * hl, (s + 1) * hl)], axis=-2),
+        )
+        for s in range(tp)
+    ])
+
+    # row-parallel wo / w2: shard the INPUT feature axis to match the heads /
+    # hidden rows this shard produced. Group scales follow: the input slice
+    # is always a multiple of the group size (check_tp).
+    G = cfg.group_size
+
+    def in_cols(q_arr, s_arr, lo, hi):  # [L, out, in] / [L, out, in//G]
+        return q_arr[..., :, lo:hi], s_arr[..., :, lo // G:hi // G]
+
+    p["wo_q"], p["wo_s"] = stack([
+        pack(*in_cols(w.wo_q, w.wo_s, s * Hl * D, (s + 1) * Hl * D))
+        for s in range(tp)
+    ])
+    p["w2_q"], p["w2_s"] = stack([
+        pack(*in_cols(w.w2_q, w.w2_s, s * hl, (s + 1) * hl))
+        for s in range(tp)
+    ])
+
+    # vocab-sharded classifier: pad the vocab to a tp multiple (zero rows and
+    # zero scales -> exactly-0.0 logits, removed by the post-gather slice)
+    V = cfg.vocab_size
+    v_pad = -(-V // tp) * tp
+    cls_q, cls_s = w.cls_q, w.cls_s
+    if v_pad != V:
+        cls_q = np.pad(cls_q, ((0, v_pad - V), (0, 0)))
+        cls_s = np.pad(cls_s, ((0, v_pad - V), (0, 0)))
+    vl = v_pad // tp
+    p["cls_q"], p["cls_s"] = stack([
+        pack(cls_q[s * vl:(s + 1) * vl], cls_s[s * vl:(s + 1) * vl])
+        for s in range(tp)
+    ])
+    return p
+
+
+def param_specs(host: dict) -> dict:
+    """PartitionSpec per params key (leading "tp" axis on sharded leaves)."""
+    return {k: (P("tp") if k in TP_SHARDED_KEYS else P()) for k in host}
+
+
+def _kv_leaf_spec(a) -> P:
+    # [L, B, S, KV, D] values / [L, B, S, KV] int8 scales
+    if a.ndim == 5:
+        return P(None, "dp", None, "tp", None)
+    return P(None, "dp", None, "tp")
+
+
+def kv_specs(kv) -> tuple:
+    return jax.tree.map(_kv_leaf_spec, kv)
+
+
+def place_params(host: dict, mesh: Mesh, head_dim: int,
+                 max_seq_len: int) -> dict:
+    """Host leaves -> device, sharded per param_specs; adds rope tables."""
+    from qwen3_tpu.ops.rope import rope_tables
+
+    specs = param_specs(host)
+    p = {
+        k: jax.device_put(np.asarray(v), NamedSharding(mesh, specs[k]))
+        for k, v in host.items()
+    }
+    cos, sin = rope_tables(head_dim, max_seq_len)
+    for k, v in (("rope_cos", cos), ("rope_sin", sin)):
+        p[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return p
+
+
+def init_sharded_kv(cfg: ModelConfig, batch: int, seq_len: int, dtype,
+                    mesh: Mesh):
+    """KV cache sharded batch-over-dp, kv-heads-over-tp."""
+    from qwen3_tpu.models import init_kv_cache
+
+    kv = init_kv_cache(cfg, batch, seq_len, dtype)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, _kv_leaf_spec(a))),
+        kv)
+
+
+def _unlead(params: dict) -> dict:
+    """Drop the (length-1 inside shard_map) leading shard axis."""
+    return {k: (v[0] if k in TP_SHARDED_KEYS else v)
+            for k, v in params.items()}
+
+
+def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
+                    kv_tree, *, mode: str = "pallas", attn: str = "dense"):
+    """jitted tensor/data-parallel forward: (params, tokens, k, v, start_pos,
+    last_pos) -> (logits [B, 1, V], k, v). `params_tree`/`kv_tree` are only
+    inspected for their pytree structure (specs), not kept."""
+    from qwen3_tpu.models.qwen3 import forward_impl
+
+    tp = mesh.shape["tp"]
+    cfg_loc = local_config(cfg, tp)
+    pspecs = param_specs(params_tree)
+    pspecs["rope_cos"] = pspecs["rope_sin"] = P()
+    kspecs = kv_specs(kv_tree)
+
+    def body(p, tokens, k, v, start_pos, last_pos):
+        logits, k, v = forward_impl(
+            _unlead(p), cfg_loc, tokens, k, v, start_pos, mode=mode,
+            attn=attn, last_pos=last_pos,
+            axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size)
+        return logits, k, v
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, P("dp"), kspecs[0], kspecs[1], P(), P()),
+        out_specs=(P("dp"), kspecs[0], kspecs[1]),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(2, 3))
+
+
+def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
+                        kv_tree, *, mode: str = "pallas",
+                        attn: str = "dense"):
+    """jitted TP serving decode step with per-slot positions:
+    (params, tokens [B], k, v, positions [B]) -> (logits [B, V], k, v)."""
+    from qwen3_tpu.models.qwen3 import decode_forward_impl
+
+    tp = mesh.shape["tp"]
+    cfg_loc = local_config(cfg, tp)
+    pspecs = param_specs(params_tree)
+    pspecs["rope_cos"] = pspecs["rope_sin"] = P()
+    kspecs = kv_specs(kv_tree)
+
+    def body(p, tokens, k, v, positions):
+        return decode_forward_impl(
+            _unlead(p), cfg_loc, tokens, k, v, positions, mode=mode,
+            attn=attn, axis_name="tp" if tp > 1 else None,
+            out_vocab=cfg.vocab_size)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, P("dp"), kspecs[0], kspecs[1], P("dp")),
+        out_specs=(P("dp"), kspecs[0], kspecs[1]),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(2, 3))

@@ -1,0 +1,133 @@
+"""Tensor-parallel pallas mode (parallel/tp.py): shard_map forward/decode
+parity vs. the single-device pallas path on the virtual 8-CPU mesh.
+
+Exactness note: inside a shard the integer math is identical to the
+single-device kernels (group boundaries align with shard boundaries); the
+only fp32 reduction-order change is the psum over wo/w2 partial sums, so
+logits match to ~1e-5 rather than bitwise.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_tpu.config import PRESETS
+from qwen3_tpu.io.synthetic import synthetic_weights
+from qwen3_tpu.models import forward, init_kv_cache, init_params
+from qwen3_tpu.parallel import make_mesh
+from qwen3_tpu.parallel.tp import (
+    init_sharded_kv,
+    local_config,
+    make_tp_decode_step,
+    make_tp_forward,
+    place_params,
+    tp_host_params,
+)
+
+SEQ = 64
+CFG = dataclasses.replace(PRESETS["tiny"], seq_len=SEQ)
+
+
+@pytest.fixture(scope="module")
+def weights():
+    return dataclasses.replace(
+        synthetic_weights(PRESETS["tiny"], seed=3), config=CFG)
+
+
+@pytest.fixture(scope="module")
+def single(weights):
+    return init_params(weights, mode="pallas", max_seq_len=SEQ)
+
+
+def _gather(x):
+    return np.asarray(jax.device_get(x))
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (1, 2), (4, 2)])
+def test_tp_forward_matches_single(weights, single, dp, tp):
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, T = 2 * dp, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 101).reshape(B, T)
+
+    k1, v1 = init_kv_cache(CFG, B, SEQ)
+    lg1, k1, v1 = forward(single, CFG, toks, k1, v1, jnp.int32(0),
+                          mode="pallas", last_pos=jnp.int32(T - 1))
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim, SEQ)
+    kv = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    fwd = make_tp_forward(mesh, CFG, params, kv, mode="pallas")
+    lg2, k2, v2 = fwd(params, toks, kv[0], kv[1], jnp.int32(0),
+                      jnp.int32(T - 1))
+
+    assert lg2.shape == (B, 1, CFG.vocab_size)
+    np.testing.assert_allclose(_gather(lg1), _gather(lg2),
+                               rtol=2e-5, atol=2e-5)
+    # the written cache rows must match (head-sharded over tp, batch over dp)
+    np.testing.assert_allclose(_gather(k1)[:, :, :T], _gather(k2)[:, :, :T],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(_gather(v1)[:, :, :T], _gather(v2)[:, :, :T],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_decode_step_matches_single(weights, single):
+    from qwen3_tpu.models.qwen3 import decode_forward_impl
+
+    dp, tp = 2, 2
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, T = 2 * dp, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 101).reshape(B, T)
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim, SEQ)
+    kv = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    fwd = make_tp_forward(mesh, CFG, params, kv, mode="pallas")
+    _, k2, v2 = fwd(params, toks, kv[0], kv[1], jnp.int32(0), jnp.int32(T - 1))
+
+    # single-device baseline: prefill then one per-slot decode step at
+    # ragged positions
+    k1, v1 = init_kv_cache(CFG, B, SEQ)
+    _, k1, v1 = forward(single, CFG, toks, k1, v1, jnp.int32(0),
+                        mode="pallas", last_pos=jnp.int32(T - 1))
+    step_toks = jnp.arange(B, dtype=jnp.int32) + 5
+    positions = jnp.asarray([T + (b % 2) for b in range(B)], jnp.int32)
+    lg1, k1, v1 = jax.jit(
+        lambda p, t, k, v, pos: decode_forward_impl(
+            p, CFG, t, k, v, pos, mode="pallas"))(
+            single, step_toks, k1, v1, positions)
+
+    dec = make_tp_decode_step(mesh, CFG, params, (k2, v2), mode="pallas")
+    lg2, k2, v2 = dec(params, step_toks, k2, v2, positions)
+
+    assert lg2.shape == (B, CFG.vocab_size)
+    np.testing.assert_allclose(_gather(lg1), _gather(lg2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_int8_kv(weights):
+    """int8 KV cache (values+scales pytree) shards and decodes on the mesh."""
+    dp, tp = 2, 2
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, T = 2 * dp, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 101).reshape(B, T)
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim, SEQ)
+    kv = init_sharded_kv(CFG, B, SEQ, jnp.int8, mesh)
+    fwd = make_tp_forward(mesh, CFG, params, kv, mode="pallas")
+    lg, k, v = fwd(params, toks, kv[0], kv[1], jnp.int32(0), jnp.int32(T - 1))
+
+    dec = make_tp_decode_step(mesh, CFG, params, (k, v), mode="pallas")
+    lg2, k, v = dec(params, jnp.full((B,), 7, jnp.int32),
+                    k, v, jnp.full((B,), T, jnp.int32))
+    assert lg2.shape == (B, CFG.vocab_size)
+    assert np.isfinite(_gather(lg2)).all()
+
+
+def test_local_config_validates():
+    with pytest.raises(ValueError):
+        local_config(CFG, 4)  # tiny has n_kv_heads=2
+    loc = local_config(CFG, 2)
+    assert loc.n_heads == 2 and loc.n_kv_heads == 1
+    assert loc.hidden_dim == CFG.hidden_dim // 2
+    assert loc.vocab_size * 2 >= CFG.vocab_size
