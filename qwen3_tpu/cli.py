@@ -13,6 +13,7 @@ Usage:  python -m qwen3_tpu.cli <checkpoint.bin> [options]
   --qmode      exact|bf16 quantized math path (default bf16)
   --kv-dtype   float32|bfloat16 KV cache dtype
   --max-tokens cap on generated tokens (completion mode)
+  --tp <int>   tensor-parallel shards over jax.devices() (pallas modes)
 
 Conventions follow the reference: generated text streams to stdout; all
 diagnostics go to stderr with [Component] prefixes.
@@ -44,8 +45,10 @@ def build_engine(args) -> Engine:
         mode=args.qmode,
         attn=args.attn,
         kv_dtype=args.kv_dtype,
+        tp=args.tp,
     )
-    print(f"[Engine] loading {cfg.path} (mode={cfg.mode})", file=sys.stderr)
+    print(f"[Engine] loading {cfg.path} (mode={cfg.mode}, tp={cfg.tp})",
+          file=sys.stderr)
     eng = Engine(cfg)
     mc = eng.model_cfg
     print(f"[Params] dim={mc.dim} hidden={mc.hidden_dim} layers={mc.n_layers} "
@@ -106,6 +109,9 @@ def main(argv=None) -> int:
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel shards; builds a (1, tp) mesh over "
+                         "the first tp jax.devices() (pallas modes)")
     args = ap.parse_args(argv)
 
     eng = build_engine(args)

@@ -85,17 +85,21 @@ def _transpose_stacked(a):
     import numpy as np
 
     try:
-        import warnings
-
         import torch
+    except ImportError:
+        import sys
 
-        with warnings.catch_warnings():
-            # torch warns on read-only numpy (memmap) inputs; we only read
-            warnings.simplefilter("ignore", UserWarning)
-            t = torch.from_numpy(np.asarray(a))
-        return t.transpose(-1, -2).contiguous().numpy()
-    except Exception:
+        print("[Params] torch unavailable — falling back to numpy's "
+              "single-threaded transpose (minutes-slow for multi-GB "
+              "checkpoints)", file=sys.stderr)
         return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+    import warnings
+
+    with warnings.catch_warnings():
+        # torch warns on read-only numpy (memmap) inputs; we only read
+        warnings.simplefilter("ignore", UserWarning)
+        t = torch.from_numpy(np.asarray(a))
+    return t.transpose(-1, -2).contiguous().numpy()
 
 
 def _host_params(w: Q8Weights, mode: str) -> dict:
@@ -183,7 +187,7 @@ _PACK_VERSION = 1
 
 def load_params(path: str, mode: str = "bf16",
                 max_seq_len: int | None = None,
-                cache: bool = True) -> tuple:
+                cache: bool = True, tp: int = 1, mesh=None) -> tuple:
     """Load checkpoint -> device params, with a packed-tensor disk cache.
 
     The host-side prep for bf16 (dequant + transpose) and pallas (transpose +
@@ -192,6 +196,12 @@ def load_params(path: str, mode: str = "bf16",
     function of the checkpoint bytes, so they are written once to
     `<path>.pack/<mode>/` and later loads mmap them straight into the device
     transfer (no body parse, no repack). Returns (ModelConfig, Params).
+
+    `tp` > 1 packs the fused pallas layout shard-aware for tensor-parallel
+    execution (parallel/tp.py; leading [tp, ...] axis on projection leaves,
+    cached under `<path>.pack/pallas-tp{tp}/`). `mesh` places every leaf
+    with its NamedSharding during the device transfer (required when tp>1;
+    also usable with tp=1 to replicate onto a dp mesh).
     """
     import json
     import os
@@ -202,12 +212,27 @@ def load_params(path: str, mode: str = "bf16",
     cfg = read_header(path)
     if max_seq_len is None:
         max_seq_len = cfg.seq_len
+    if tp > 1 and not mode.startswith("pallas"):
+        raise ValueError(
+            "tp>1 requires a pallas mode (exact/bf16 shard via "
+            "parallel.sharding GSPMD specs instead)")
+    if tp > 1 and mesh is None:
+        raise ValueError("tp>1 needs a mesh to place the shards on")
     # pallas-fast differs only in the kernel, not the packed tensors
     pack_mode = "pallas" if mode.startswith("pallas") else mode
+    if tp > 1:
+        pack_mode = f"pallas-tp{tp}"
     st = os.stat(path)
     meta_want = {"pack_version": _PACK_VERSION, "mode": pack_mode,
                  "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns}
     pack = _Path(f"{path}.pack") / pack_mode
+
+    def place(host: dict):
+        if mesh is not None:
+            from qwen3_tpu.parallel.tp import place_params
+
+            return place_params(host, mesh, cfg.head_dim, max_seq_len)
+        return _to_device(host, cfg.head_dim, max_seq_len)
 
     if cache and (pack / "meta.json").exists():
         import numpy as np
@@ -222,26 +247,50 @@ def load_params(path: str, mode: str = "bf16",
 
                     a = a.view(ml_dtypes.bfloat16)
                 host[key] = a
-            return cfg, _to_device(host, cfg.head_dim, max_seq_len)
+            return cfg, place(host)
 
-    host = _host_params(load_checkpoint(path), mode)
+    if tp > 1:
+        from qwen3_tpu.parallel.tp import tp_host_params
+
+        host = tp_host_params(load_checkpoint(path), tp)
+    else:
+        host = _host_params(load_checkpoint(path), mode)
     if cache:
         import ml_dtypes
         import numpy as np
+        import shutil
 
-        pack.mkdir(parents=True, exist_ok=True)
+        # build the pack in a private temp dir and publish it with one atomic
+        # rename: a concurrent reader can never mmap a tensor mid-write, and
+        # concurrent cold loads race harmlessly (one rename wins, the losers
+        # keep serving from the host arrays they already built). Meta is
+        # still written last so a crash mid-build never validates.
+        tmp = pack.with_name(f"{pack.name}.tmp.{os.getpid()}")
+        tmp.mkdir(parents=True, exist_ok=True)
         dtypes = {}
         for key, a in host.items():
             a = np.asarray(a)
             if a.dtype == ml_dtypes.bfloat16:
                 dtypes[key] = "bfloat16"
                 a = a.view(np.uint16)
-            np.save(pack / f"{key}.npy", a)
-        # meta written last: a partial pack dir (crash mid-save) never
-        # validates and is silently rebuilt
-        (pack / "meta.json").write_text(json.dumps(
+            np.save(tmp / f"{key}.npy", a)
+        (tmp / "meta.json").write_text(json.dumps(
             dict(meta_want, keys=sorted(host), dtypes=dtypes)))
-    return cfg, _to_device(host, cfg.head_dim, max_seq_len)
+        if pack.exists():
+            # stale pack (meta mismatch — the fresh-and-valid case returned
+            # above); move it aside before publishing the rebuild
+            old = pack.with_name(f"{pack.name}.stale.{os.getpid()}")
+            try:
+                os.rename(pack, old)
+                shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
+        try:
+            os.rename(tmp, pack)
+        except OSError:
+            # another process published first; theirs is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    return cfg, place(host)
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,

@@ -282,3 +282,129 @@ def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
         out_specs=(P("dp"), kspecs[0], kspecs[1]),
         check_vma=False)
     return jax.jit(fn, donate_argnums=(2, 3))
+
+
+def _pspecs(params_tree: dict) -> dict:
+    s = param_specs(params_tree)
+    s["rope_cos"] = s["rope_sin"] = P()
+    return s
+
+
+def make_tp_decode_chunk(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
+                         kv_tree, **statics):
+    """TP version of runtime.decode_loop.decode_chunk (single stream, B=1;
+    requires mesh dp=1). `statics` forwards the chunk's static kwargs
+    (mode/chunk/temperature/top_p/greedy/bos/eos/emit_at_limit/top_k/attn).
+    """
+    from qwen3_tpu.runtime.decode_loop import decode_chunk_impl
+
+    tp = mesh.shape["tp"]
+    if mesh.shape["dp"] != 1:
+        raise ValueError("single-stream decode_chunk runs with dp=1")
+    cfg_loc = local_config(cfg, tp)
+    kspecs = kv_specs(kv_tree)
+
+    def body(p, k, v, token, pos, limit, hi, lo):
+        return decode_chunk_impl(
+            _unlead(p), k, v, token, pos, limit, hi, lo, cfg=cfg_loc,
+            axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size,
+            **statics)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_pspecs(params_tree), kspecs[0], kspecs[1],
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(), kspecs[0], kspecs[1], P(), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
+def make_tp_batched_chunk(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
+                          kv_tree, **statics):
+    """TP/DP version of runtime.batched.batched_decode_chunk: per-slot [B]
+    state shards over "dp", kv heads over "tp"."""
+    from qwen3_tpu.runtime.batched import batched_decode_chunk_impl
+
+    tp = mesh.shape["tp"]
+    cfg_loc = local_config(cfg, tp)
+    kspecs = kv_specs(kv_tree)
+    b = P("dp")
+
+    def body(p, k, v, token, pos, limit, done, hi, lo, temp, topp, emit_lim):
+        return batched_decode_chunk_impl(
+            _unlead(p), k, v, token, pos, limit, done, hi, lo, temp, topp,
+            emit_lim, cfg=cfg_loc, axis_name="tp" if tp > 1 else None,
+            out_vocab=cfg.vocab_size, **statics)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_pspecs(params_tree), kspecs[0], kspecs[1],
+                  b, b, b, b, b, b, b, b, b),
+        out_specs=(b, kspecs[0], kspecs[1], b, b, b, b, b),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
+def make_tp_prefill_into_slot(mesh: Mesh, cfg: ModelConfig,
+                              params_tree: dict, kv_tree, *, mode: str,
+                              greedy: bool):
+    """TP/DP version of runtime.batched.prefill_into_slot.
+
+    `slot` is the GLOBAL batch index; with dp>1 each dp shard holds
+    B/dp slots, so the owning shard is slot // (B/dp). Every shard runs the
+    (cheap, prompt-sized) forward — they must anyway, for the tp
+    collectives — but only the owner's cache rows are written; the others
+    re-write their own current rows. The sampled first token comes out of
+    identical replicated logits, so all shards agree."""
+    import jax.numpy as _jnp
+    from jax import lax
+
+    from qwen3_tpu.models.qwen3 import forward_impl
+    from qwen3_tpu.runtime.sampler import sample_tokens
+    from qwen3_tpu.runtime.xorshift import xorshift_coin_device
+
+    tp, dp = mesh.shape["tp"], mesh.shape["dp"]
+    cfg_loc = local_config(cfg, tp)
+    kspecs = kv_specs(kv_tree)
+
+    def body(p, k_cache, v_cache, tokens, n_valid, slot, rng_hi, rng_lo,
+             n_burn, temp, topp):
+        pl = _unlead(p)
+        bl = jax.tree.leaves(k_cache)[0].shape[1]   # local slots per shard
+        my = lax.axis_index("dp") if dp > 1 else _jnp.int32(0)
+        lslot = slot - my * bl
+        in_range = (lslot >= 0) & (lslot < bl)
+        safe = _jnp.clip(lslot, 0, bl - 1)
+
+        take = lambda a: lax.dynamic_slice_in_dim(a, safe, 1, axis=1)
+        put = lambda full, part: lax.dynamic_update_slice_in_dim(
+            full,
+            _jnp.where(in_range, part.astype(full.dtype), take(full)),
+            safe, axis=1)
+        kv_rows = jax.tree.map(take, k_cache)
+        vv_rows = jax.tree.map(take, v_cache)
+        logits, kr, vr = forward_impl(
+            pl, cfg_loc, tokens[None, :], kv_rows, vv_rows, _jnp.int32(0),
+            mode=mode, last_pos=n_valid - 1,
+            axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size)
+        k_cache = jax.tree.map(put, k_cache, kr)
+        v_cache = jax.tree.map(put, v_cache, vr)
+        last = logits[0, 0]
+
+        def burn(_, s):
+            hi, lo, _c = xorshift_coin_device(s[0], s[1])
+            return (hi, lo)
+
+        rng_hi, rng_lo = lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
+        hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
+        g = greedy if greedy else (temp <= 1e-6)
+        tok = sample_tokens(last[None, :], coin[None], temp, topp, greedy=g)
+        return tok[0], k_cache, v_cache, hi, lo
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_pspecs(params_tree), kspecs[0], kspecs[1],
+                  P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), kspecs[0], kspecs[1], P(), P()),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(1, 2))

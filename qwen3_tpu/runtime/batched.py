@@ -33,6 +33,7 @@ from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.models import forward, init_kv_cache, load_params
 from qwen3_tpu.models.qwen3 import decode_forward_impl
 from qwen3_tpu.runtime import kvcache
+from qwen3_tpu.runtime.decode_loop import burn_and_sample, prefill_blocks
 from qwen3_tpu.runtime.sampler import (
     Sampler,
     clamp_temperature,
@@ -60,23 +61,31 @@ class BatchCarry(NamedTuple):
     out: jnp.ndarray       # i32 [B, K]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "attn", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos", "top_k", "use_side"),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
-                         rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
-                         attn: str = "dense",
-                         temperature: float, top_p: float, greedy: bool,
-                         bos: int, eos: int, top_k: int = 0,
-                         use_side: bool = False):
+def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
+                              done, rng_hi, rng_lo, temp, topp, emit_lim,
+                              *, cfg, mode: str, chunk: int,
+                              attn: str = "dense",
+                              greedy: bool, bos: int, eos: int,
+                              top_k: int = 0, use_side: bool = False,
+                              axis_name: str | None = None,
+                              out_vocab: int | None = None):
     """Up to `chunk` decode steps over all live slots.
 
     token/pos/limit/done/rng_*: per-slot [B] arrays. A slot stops emitting at
     BOS/EOS or when its position reaches its limit; its RNG and position then
     freeze so per-stream reproducibility is independent of batch-mates.
+
+    temp/topp: per-slot [B] fp32 sampler params (pre-clamped — per-request
+    sampling without recompiling per config). `greedy=True` statically
+    asserts every slot is greedy (argmax only, sampler sort elided — the
+    all-greedy serving fast path); with `greedy=False` rows at the epsilon
+    temperature argmax individually.
+
+    emit_lim: per-slot [B] bool — chat-turn semantics: the token sampled at
+    the final position is still emitted before the limit stop freezes the
+    slot (the reference's chat loop prints it and only then hits the
+    overflow check, src/completion.c:327-347; decode_loop's static
+    `emit_at_limit` flag, per slot).
 
     use_side: stage the chunk's K/V rows in side buffers written at a uniform
     step index instead of scattering B rows into the main cache every step
@@ -99,7 +108,7 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
         is_stop = (c.token == bos) | (c.token == eos)
         at_limit = c.pos >= limit
         newly_done = c.done | is_stop | at_limit
-        emit = ~newly_done
+        emit = ~c.done & ~is_stop & (emit_lim | ~at_limit)
 
         out = c.out.at[:, c.step].set(jnp.where(emit, c.token, -1))
 
@@ -109,7 +118,8 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
             # double-buffered by XLA)
             logits, kc, vc = decode_forward_impl(
                 params, cfg, c.token, k_cache, v_cache, c.pos, mode=mode,
-                attn=attn, side=(c.k_cache, c.v_cache, base_pos, c.step))
+                attn=attn, side=(c.k_cache, c.v_cache, base_pos, c.step),
+                axis_name=axis_name, out_vocab=out_vocab)
         else:
             # done slots still flow through the batched forward (their rows
             # are wasted work but keep shapes static); clamp their write
@@ -119,9 +129,11 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
             write_pos = jnp.minimum(c.pos, S - 1)
             logits, kc, vc = decode_forward_impl(
                 params, cfg, c.token, c.k_cache, c.v_cache, write_pos,
-                mode=mode, attn=attn)
+                mode=mode, attn=attn, axis_name=axis_name,
+                out_vocab=out_vocab)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
-        nxt = sample_tokens(logits, coin, temperature, top_p, greedy=greedy,
+        g = greedy if greedy else (temp <= _GREEDY_EPS)
+        nxt = sample_tokens(logits, coin, temp, topp, greedy=g,
                             top_k_hint=top_k)
 
         # frozen slots keep token/pos/rng; live slots advance
@@ -177,21 +189,28 @@ def batched_decode_chunk(params, k_cache, v_cache, token, pos, limit, done,
             c.rng_hi, c.rng_lo)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "mode", "temperature", "top_p",
-                              "greedy"),
+batched_decode_chunk = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn", "mode", "chunk", "greedy", "bos", "eos",
+                     "top_k", "use_side", "axis_name", "out_vocab"),
     donate_argnames=("k_cache", "v_cache"),
-)
-def prefill_into_slot(params, k_cache, v_cache, tokens, n_valid, slot,
-                      rng_hi, rng_lo, n_burn, *, cfg, mode: str,
-                      temperature: float, top_p: float, greedy: bool):
-    """Prefill one request into cache slot `slot` and sample its first token.
+)(batched_decode_chunk_impl)
 
-    tokens: [T] i32 (right-padded to the prefill bucket); n_valid: i32 actual
-    prompt length. Padded rows only write cache slots the decode loop
-    overwrites before reading. Burns n_burn RNG draws first (chat parity).
-    Returns (first_token i32, k, v, rng_hi, rng_lo).
-    """
+
+def prefill_slot_chunk_impl(params, k_cache, v_cache, tokens, slot,
+                            start_pos, last_pos, *, cfg, mode: str,
+                            axis_name: str | None = None,
+                            out_vocab: int | None = None):
+    """One prompt chunk into cache slot `slot`: extract the slot's KV rows,
+    run the same [1, T] forward program Engine._prefill dispatches, put the
+    rows back. tokens: [T] i32 (padded per decode_loop.prefill_blocks —
+    padded rows only write cache slots the decode loop overwrites before
+    reading). Returns (last-valid-position logits [V], k, v).
+
+    Chunking the slot prefill identically to the single-stream engine (same
+    shapes through the same forward_impl) is what makes batched chat streams
+    bit-equal to ChatSession: a single differently-shaped prefill reduction
+    can flip a top-p near-tie many tokens later."""
     from qwen3_tpu.models.qwen3 import forward_impl
 
     take_row = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
@@ -201,21 +220,18 @@ def prefill_into_slot(params, k_cache, v_cache, tokens, n_valid, slot,
     vv_rows = jax.tree.map(take_row, v_cache)
 
     logits, kr, vr = forward_impl(params, cfg, tokens[None, :], kv_rows,
-                                  vv_rows, jnp.int32(0), mode=mode,
-                                  last_pos=n_valid - 1)
+                                  vv_rows, start_pos, mode=mode,
+                                  last_pos=last_pos, axis_name=axis_name,
+                                  out_vocab=out_vocab)
     k_cache = jax.tree.map(put_row, k_cache, kr)
     v_cache = jax.tree.map(put_row, v_cache, vr)
-    last = logits[0, 0]                                    # [V]
+    return logits[0, 0], k_cache, v_cache
 
-    def burn(_, s):
-        hi, lo, _c = xorshift_coin_device(s[0], s[1])
-        return (hi, lo)
 
-    rng_hi, rng_lo = jax.lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
-    hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
-    tok = sample_tokens(last[None, :], coin[None], temperature, top_p,
-                        greedy=greedy)
-    return tok[0], k_cache, v_cache, hi, lo
+prefill_slot_chunk = functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "axis_name", "out_vocab"),
+    donate_argnames=("k_cache", "v_cache"),
+)(prefill_slot_chunk_impl)
 
 
 @dataclasses.dataclass
@@ -224,11 +240,31 @@ class Request:
     seed: int = 0
     max_tokens: Optional[int] = None
     stream_cb: Optional[Callable[[bytes], None]] = None
+    # per-request sampler overrides (None = engine defaults); clamped with
+    # the reference's sampler_create semantics (src/sampler.c:36-52)
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
+    # chat-turn plumbing (used by BatchedChat; completion requests leave
+    # these at their defaults):
+    slot: Optional[int] = None      # pinned slot (conversation KV residency)
+    start_pos: int = 0              # cache position of the turn's first id
+    rng: Optional[tuple] = None     # (hi, lo) xorshift state to continue
+    burn_prompt: bool = False       # burn len(ids)-1 draws (chat RNG parity)
+    emit_at_limit: bool = False     # emit the token sampled at the limit
     # filled by the engine:
     rid: int = -1
     prompt_ids: list = dataclasses.field(default_factory=list)
     out_ids: list = dataclasses.field(default_factory=list)
     finished: bool = False
+    prompt_ms: float = 0.0      # pp: encode + prefill wall ms
+    generate_ms: float = 0.0    # tg: admit-to-finish decode wall ms
+    end_pos: int = 0            # slot position after the turn (chat)
+    end_rng: Optional[tuple] = None   # xorshift state after the turn (chat)
+    _t_admit: float = 0.0
+
+    @property
+    def ms_per_token(self) -> float:
+        return self.generate_ms / max(len(self.out_ids), 1)
 
 
 @dataclasses.dataclass
@@ -281,6 +317,11 @@ class BatchedEngine:
         cache_rows = self.cfg.seq_len + (decode_chunk if side_buffer else 0)
         self._kv = init_kv_cache(self.cfg, B, cache_rows,
                                  jnp.dtype(kv_dtype))
+        # per-slot sampler params (engine defaults until a request overrides)
+        self._temp_host = np.full((B,), self.temperature, np.float32)
+        self._topp_host = np.full((B,), self.top_p, np.float32)
+        self._emit_host = np.zeros((B,), np.bool_)
+        self._pinned: set[int] = set()   # conversation-held slots
         self._token = jnp.zeros((B,), jnp.int32)
         self._pos = jnp.zeros((B,), jnp.int32)
         self._limit = np.zeros((B,), np.int32)
@@ -310,51 +351,86 @@ class BatchedEngine:
     # -- internals ---------------------------------------------------------
 
     def _admit(self) -> None:
+        # chat turns go to their pinned slot; fresh requests fill free,
+        # unpinned slots in FIFO order
+        for req in [r for r in self._queue if r.slot is not None]:
+            if self._slots[req.slot].req is None:
+                self._queue.remove(req)
+                self._admit_into(req.slot, req)
         for b, slot in enumerate(self._slots):
-            if slot.req is not None or not self._queue:
+            if slot.req is not None or b in self._pinned:
                 continue
-            req = self._queue.pop(0)
-            ids = self.tokenizer.encode(req.prompt)
-            if not ids:
-                req.finished = True
-                continue
-            bucket = self.prefill_bucket
-            while bucket < len(ids):
-                bucket *= 2
-            bucket = min(bucket, self.cfg.seq_len)
-            ids = ids[:bucket]
-            req.prompt_ids = ids
-            padded = ids + [0] * (bucket - len(ids))
+            req = next((r for r in self._queue if r.slot is None), None)
+            if req is None:
+                break
+            self._queue.remove(req)
+            self._admit_into(b, req)
 
+    def _admit_into(self, b: int, req: Request) -> None:
+        t0 = time.perf_counter()
+        ids = self.tokenizer.encode(req.prompt)
+        # never run past the context (reference chat clips the same way)
+        ids = ids[: self.cfg.seq_len - req.start_pos]
+        if not ids:
+            req.finished = True
+            return
+        r_temp = (self.temperature if req.temperature is None
+                  else clamp_temperature(req.temperature))
+        r_topp = (self.top_p if req.top_p is None
+                  else clamp_top_p(req.top_p))
+        self._temp_host[b] = r_temp
+        self._topp_host[b] = r_topp
+        self._emit_host[b] = req.emit_at_limit
+        req.prompt_ids = ids
+
+        # chunked prefill with the SAME policy (and hence the same compiled
+        # forward shapes) as Engine._prefill — see prefill_slot_chunk
+        k, v = self._kv
+        logits = None
+        for off, block, n_valid in prefill_blocks(
+                ids, req.start_pos, self.prefill_bucket, self.cfg.seq_len):
+            logits, k, v = prefill_slot_chunk(
+                self.params, k, v, jnp.asarray(block, jnp.int32),
+                jnp.int32(b), jnp.int32(req.start_pos + off),
+                jnp.int32(n_valid - 1), cfg=self.cfg, mode=self.mode)
+        self._kv = (k, v)
+
+        if req.rng is not None:
+            hi0, lo0 = req.rng
+        else:
             hi0, lo0 = seed_to_device(req.seed)
-            tok, k, v, hi, lo = prefill_into_slot(
-                self.params, self._kv[0], self._kv[1],
-                jnp.asarray(padded, jnp.int32), jnp.int32(len(ids)),
-                jnp.int32(b), hi0, lo0, jnp.int32(0),
-                cfg=self.cfg, mode=self.mode, temperature=self.temperature,
-                top_p=self.top_p, greedy=self.greedy)
-            self._kv = (k, v)
-            self._token = self._token.at[b].set(tok)
-            self._pos = self._pos.at[b].set(len(ids))
-            limit = self.cfg.seq_len
-            if req.max_tokens is not None:
-                limit = min(limit, len(ids) + req.max_tokens)
-            self._limit[b] = limit
-            self._done = self._done.at[b].set(False)
-            self._rng_hi = self._rng_hi.at[b].set(hi)
-            self._rng_lo = self._rng_lo.at[b].set(lo)
-            slot.req = req
+        n_burn = len(ids) - 1 if req.burn_prompt else 0
+        tok1, hi, lo = burn_and_sample(
+            logits, hi0, lo0, jnp.int32(n_burn), jnp.float32(r_temp),
+            jnp.float32(r_topp), greedy=r_temp <= _GREEDY_EPS,
+            top_k=self.top_k)
+        tok = tok1[0]
+        req.prompt_ms = (time.perf_counter() - t0) * 1e3
+        req._t_admit = time.perf_counter()
+        pos = req.start_pos + len(ids)
+        self._token = self._token.at[b].set(tok)
+        self._pos = self._pos.at[b].set(pos)
+        limit = self.cfg.seq_len
+        if req.max_tokens is not None:
+            limit = min(limit, pos + req.max_tokens)
+        self._limit[b] = limit
+        self._done = self._done.at[b].set(False)
+        self._rng_hi = self._rng_hi.at[b].set(hi)
+        self._rng_lo = self._rng_lo.at[b].set(lo)
+        self._slots[b].req = req
 
     def _step(self) -> list[Request]:
         """One batched decode chunk; returns requests finished this chunk."""
         if not any(s.req for s in self._slots):
             return []
+        all_greedy = bool((self._temp_host <= _GREEDY_EPS).all())
         packed, k, v, tok, pos, done, hi, lo = batched_decode_chunk(
             self.params, self._kv[0], self._kv[1], self._token, self._pos,
             jnp.asarray(self._limit), self._done, self._rng_hi, self._rng_lo,
+            jnp.asarray(self._temp_host), jnp.asarray(self._topp_host),
+            jnp.asarray(self._emit_host),
             cfg=self.cfg, mode=self.mode, chunk=self.decode_chunk,
-            temperature=self.temperature, top_p=self.top_p,
-            greedy=self.greedy, bos=self.tokenizer.special.bos,
+            greedy=all_greedy, bos=self.tokenizer.special.bos,
             eos=self.tokenizer.special.eos, top_k=self.top_k,
             attn=self.attn, use_side=self.side_buffer)
         self._kv = (k, v)
@@ -374,6 +450,29 @@ class BatchedEngine:
                     req.stream_cb(self.tokenizer.decode(toks))
             if bool(arr[b, -1]):
                 req.finished = True
+                req.generate_ms = (time.perf_counter() - req._t_admit) * 1e3
+                if req.slot is not None:
+                    # conversation bookkeeping for the next turn
+                    req.end_pos = int(arr[b, -2])
+                    req.end_rng = (self._rng_hi[b], self._rng_lo[b])
                 finished.append(req)
                 slot.req = None
+                # freed slots fall back to engine defaults so an all-greedy
+                # batch recovers the static argmax-only program
+                self._temp_host[b] = self.temperature
+                self._topp_host[b] = self.top_p
+                self._emit_host[b] = False
         return finished
+
+    # -- conversation slot pinning (used by BatchedChat) -------------------
+
+    def pin_slot(self) -> int:
+        """Reserve a free slot for a conversation's KV residency."""
+        for b, slot in enumerate(self._slots):
+            if slot.req is None and b not in self._pinned:
+                self._pinned.add(b)
+                return b
+        raise RuntimeError("no free slot to pin (all held by conversations)")
+
+    def unpin_slot(self, b: int) -> None:
+        self._pinned.discard(b)

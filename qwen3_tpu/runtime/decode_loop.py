@@ -41,23 +41,23 @@ class DecodeCarry(NamedTuple):
     out: jnp.ndarray         # i32 [K], emitted tokens (-1 padding)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
-                     "greedy", "bos", "eos", "emit_at_limit", "top_k",
-                     "attn"),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def decode_chunk(params, k_cache, v_cache, token, pos, limit,
-                 rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
-                 temperature: float, top_p: float, greedy: bool,
-                 bos: int, eos: int, emit_at_limit: bool = False,
-                 top_k: int = 0, attn: str = "dense"):
+def decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
+                      rng_hi, rng_lo, *, cfg, mode: str, chunk: int,
+                      temperature: float, top_p: float, greedy: bool,
+                      bos: int, eos: int, emit_at_limit: bool = False,
+                      top_k: int = 0, attn: str = "dense",
+                      axis_name: str | None = None,
+                      out_vocab: int | None = None):
     """Generate up to `chunk` tokens fully on device (B=1).
 
     token: i32 [1] — current sampled-but-unemitted token.
     pos:   i32 scalar — position for the next forward.
     limit: i32 scalar — exclusive position bound (seq_len or max-token cap).
+
+    `axis_name`/`out_vocab`: tensor-parallel execution under shard_map
+    (parallel/tp.py make_tp_decode_chunk) — `cfg` is then the shard-local
+    config; sampling runs on the gathered (replicated) logits, so every
+    shard draws the same token.
 
     Returns (out_tokens [chunk], n_emitted, done, k, v, token, pos,
     rng_hi, rng_lo).
@@ -94,7 +94,8 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
         safe_pos = jnp.minimum(c.pos, seq_len - 1)
         logits, kc, vc = forward_impl(
             params, cfg, c.token[:, None], c.k_cache, c.v_cache,
-            safe_pos, mode=mode, attn=attn)
+            safe_pos, mode=mode, attn=attn, axis_name=axis_name,
+            out_vocab=out_vocab)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
         nxt = sample_tokens(logits[:, 0], coin[None], temperature,
                             top_p, greedy=greedy, top_k_hint=top_k)
@@ -120,13 +121,42 @@ def decode_chunk(params, k_cache, v_cache, token, pos, limit,
     return (packed, c.k_cache, c.v_cache, c.token, c.pos, c.rng_hi, c.rng_lo)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("temperature", "top_p", "greedy", "top_k"))
-def burn_and_sample(logits, rng_hi, rng_lo, n_burn, *, temperature: float,
-                    top_p: float, greedy: bool, top_k: int = 0):
+decode_chunk = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "chunk", "temperature", "top_p",
+                     "greedy", "bos", "eos", "emit_at_limit", "top_k",
+                     "attn", "axis_name", "out_vocab"),
+    donate_argnames=("k_cache", "v_cache"),
+)(decode_chunk_impl)
+
+
+def prefill_blocks(ids: list, start_pos: int, chunk: int, seq_len: int):
+    """The ONE prompt-chunking policy, shared by Engine._prefill and
+    BatchedEngine._admit_into so single-stream and batched prefill run
+    bit-identical forward programs (same chunk shapes -> same fp32 reduction
+    order -> same KV rows; see tests/test_batched.py chat parity).
+
+    Yields (offset, padded_block, n_valid) per chunk. The padded block never
+    extends past the cache: dynamic_update_slice CLAMPS an out-of-range
+    start index, which would shift the whole write over earlier live rows.
+    """
+    ids = ids[: seq_len - start_pos]
+    for off in range(0, len(ids), chunk):
+        block = ids[off:off + chunk]
+        n = len(block)
+        cap = min(chunk, seq_len - (start_pos + off))
+        yield off, block + [0] * (cap - n), n
+
+
+@functools.partial(jax.jit, static_argnames=("greedy", "top_k"))
+def burn_and_sample(logits, rng_hi, rng_lo, n_burn, temperature, top_p, *,
+                    greedy: bool, top_k: int = 0):
     """Advance the RNG `n_burn` draws (the reference chat loop burns one draw
     per prompt token, src/completion.c:318-323), then draw once and sample the
-    first token from the prefill logits. Returns (token [1] i32, hi, lo)."""
+    first token from the prefill logits. temperature/top_p are traced scalars
+    (pre-clamped) so one compiled program serves every sampler config — and
+    the single-stream and batched engines share it, keeping their first-token
+    numerics identical. Returns (token [1] i32, hi, lo)."""
 
     def burn(_, s):
         hi, lo, _c = xorshift_coin_device(s[0], s[1])
@@ -134,6 +164,7 @@ def burn_and_sample(logits, rng_hi, rng_lo, n_burn, *, temperature: float,
 
     rng_hi, rng_lo = jax.lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
     hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
+    g = greedy if greedy else (temperature <= 1e-6)
     tok = sample_tokens(logits[None, :], coin[None], temperature, top_p,
-                        greedy=greedy, top_k_hint=top_k)
+                        greedy=g, top_k_hint=top_k)
     return tok, hi, lo

@@ -24,7 +24,11 @@ import numpy as np
 
 from qwen3_tpu.config import MAX_SEQ_LEN, ModelConfig
 from qwen3_tpu.models import forward, init_kv_cache, load_params
-from qwen3_tpu.runtime.decode_loop import burn_and_sample, decode_chunk
+from qwen3_tpu.runtime.decode_loop import (
+    burn_and_sample,
+    decode_chunk,
+    prefill_blocks,
+)
 from qwen3_tpu.runtime.sampler import Sampler
 from qwen3_tpu.runtime.xorshift import seed_to_device
 from qwen3_tpu.tokenizer import Tokenizer
@@ -49,6 +53,19 @@ class EngineConfig:
     decode_chunk: int = 32         # tokens generated per device dispatch
     top_k: int = 64                # top-k fast path for nucleus sampling (0=off)
     batch: int = 1
+    tp: int = 1                    # tensor-parallel shards (pallas modes;
+                                   # builds a (1, tp) mesh over jax.devices())
+    # decode program:
+    #   "slot"  — the serving engine's per-slot program at B=1
+    #             (runtime/batched.py, direct KV writes). Streams are
+    #             bit-equal to BatchedEngine(side_buffer=False).
+    #   "side"  — same program with side-buffer KV staging; bit-equal to
+    #             BatchedEngine(side_buffer=True), the serving default.
+    #   "fused" — the B=1 fused chunk (runtime/decode_loop.py), also the
+    #             tensor-parallel (tp>1) program. Same tokens in practice,
+    #             but a different fp32 reduction order, so no bit-parity
+    #             guarantee against the batched engine.
+    decode_impl: str = "slot"
 
 
 @dataclasses.dataclass
@@ -73,8 +90,15 @@ class Engine:
 
         self.model_cfg: ModelConfig = read_header(cfg.path).with_seq_len(
             seq_len)
+        self._mesh = None
+        if cfg.tp > 1:
+            from qwen3_tpu.parallel import make_mesh
+
+            self._mesh = make_mesh(dp=1, tp=cfg.tp)
         _, self.params = load_params(cfg.path, mode=cfg.mode,
-                                     max_seq_len=self.model_cfg.seq_len)
+                                     max_seq_len=self.model_cfg.seq_len,
+                                     tp=cfg.tp, mesh=self._mesh)
+        self._tp_fns: dict = {}
         self.sampler = Sampler(self.tokenizer.vocab_size, cfg.temperature,
                                cfg.top_p, cfg.seed)
         # greedy shortcut: at the epsilon temperature the reference's top-p
@@ -87,8 +111,31 @@ class Engine:
     # -- state ---------------------------------------------------------------
 
     def reset(self, batch: int = 1):
-        self._kv = init_kv_cache(self.model_cfg, batch,
-                                 self.model_cfg.seq_len, self.kv_dtype)
+        if self._mesh is not None:
+            from qwen3_tpu.parallel.tp import init_sharded_kv
+
+            self._kv = init_sharded_kv(self.model_cfg, batch,
+                                       self.model_cfg.seq_len,
+                                       self.kv_dtype, self._mesh)
+        else:
+            # side-buffer decode merges a full chunk window; the extra rows
+            # absorb the overhang of a stream finishing right at seq_len
+            rows = self.model_cfg.seq_len + (
+                self.cfg.decode_chunk if self.cfg.decode_impl == "side" else 0)
+            self._kv = init_kv_cache(self.model_cfg, batch, rows,
+                                     self.kv_dtype)
+
+    def _tp_fn(self, kind: str, **statics):
+        """Memoized shard_map wrappers (parallel/tp.py) for the mesh path."""
+        key = (kind, tuple(sorted(statics.items())))
+        if key not in self._tp_fns:
+            from qwen3_tpu.parallel import tp as _tp
+
+            maker = {"forward": _tp.make_tp_forward,
+                     "chunk": _tp.make_tp_decode_chunk}[kind]
+            self._tp_fns[key] = maker(self._mesh, self.model_cfg,
+                                      self.params, self._kv, **statics)
+        return self._tp_fns[key]
 
     def reset_rng(self):
         self._rng = seed_to_device(self.cfg.seed)
@@ -100,18 +147,24 @@ class Engine:
         cfg, chunk = self.model_cfg, self.cfg.prefill_chunk
         k, v = self._kv
         logits = None
-        for off in range(0, len(ids), chunk):
-            block = ids[off:off + chunk]
-            n_valid = len(block)
-            # pad the tail chunk; padded rows only write cache slots beyond
-            # the prompt, which decode overwrites before ever reading them.
-            # Only the last valid position's logits are computed (last_pos) —
-            # one vocab-matmul row per chunk, not `chunk` of them.
-            block = block + [0] * (chunk - n_valid)
+        # chunk policy shared with BatchedEngine._admit_into (bit-parity);
+        # padded rows only write cache slots beyond the prompt, which decode
+        # overwrites before ever reading them. Only the last valid position's
+        # logits are computed (last_pos) — one vocab-matmul row per chunk.
+        for off, block, n_valid in prefill_blocks(ids, start_pos, chunk,
+                                                  cfg.seq_len):
             toks = jnp.asarray([block], jnp.int32)
-            lg, k, v = forward(self.params, cfg, toks, k, v,
-                               jnp.int32(start_pos + off), mode=self.cfg.mode,
-                               last_pos=jnp.int32(n_valid - 1))
+            if self._mesh is not None:
+                fwd = self._tp_fn("forward", mode=self.cfg.mode,
+                                  attn=self.cfg.attn)
+                lg, k, v = fwd(self.params, toks, k, v,
+                               jnp.int32(start_pos + off),
+                               jnp.int32(n_valid - 1))
+            else:
+                lg, k, v = forward(self.params, cfg, toks, k, v,
+                                   jnp.int32(start_pos + off),
+                                   mode=self.cfg.mode,
+                                   last_pos=jnp.int32(n_valid - 1))
             logits = lg[:, 0]
         self._kv = (k, v)
         return logits  # [1, V]
@@ -122,28 +175,44 @@ class Engine:
         hi, lo = self._rng
         tok, hi, lo = burn_and_sample(
             logits[0], hi, lo, jnp.int32(n_burn),
-            temperature=self.sampler.temperature, top_p=self.sampler.top_p,
+            jnp.float32(self.sampler.temperature),
+            jnp.float32(self.sampler.top_p),
             greedy=self.greedy, top_k=self.cfg.top_k)
         self._rng = (hi, lo)
         return tok
 
     def _decode_chunks(self, token, pos, limit: int, emit_at_limit: bool):
-        """Yield (np_tokens, done) per on-device chunk until stop/limit."""
+        """Yield (np_tokens, done) per on-device chunk until stop/limit.
+
+        Non-mesh decode dispatches the SAME compiled program the serving
+        engine runs (runtime/batched.batched_decode_chunk at B=1; per-row
+        math is batch-size-independent bitwise), so single-stream and
+        batched streams agree token-for-token. The tp>1 mesh path keeps the
+        fused shard_map chunk (cfg.decode_impl "fused")."""
+        if self._mesh is None and self.cfg.decode_impl != "fused":
+            yield from self._decode_chunks_slot(token, pos, limit,
+                                                emit_at_limit)
+            return
         k, v = self._kv
         hi, lo = self._rng
         t = self.tokenizer
         pos = jnp.int32(pos)
         done = False
+        statics = dict(
+            mode=self.cfg.mode, chunk=self.cfg.decode_chunk,
+            temperature=self.sampler.temperature, top_p=self.sampler.top_p,
+            greedy=self.greedy, bos=t.special.bos, eos=t.special.eos,
+            emit_at_limit=emit_at_limit, top_k=self.cfg.top_k,
+            attn=self.cfg.attn)
         while not done:
-            packed, k, v, token, pos, hi, lo = decode_chunk(
-                self.params, k, v, token, pos, jnp.int32(limit), hi, lo,
-                cfg=self.model_cfg, mode=self.cfg.mode,
-                chunk=self.cfg.decode_chunk,
-                temperature=self.sampler.temperature,
-                top_p=self.sampler.top_p, greedy=self.greedy,
-                bos=t.special.bos, eos=t.special.eos,
-                emit_at_limit=emit_at_limit, top_k=self.cfg.top_k,
-                attn=self.cfg.attn)
+            if self._mesh is not None:
+                packed, k, v, token, pos, hi, lo = self._tp_fn(
+                    "chunk", **statics)(self.params, k, v, token, pos,
+                                        jnp.int32(limit), hi, lo)
+            else:
+                packed, k, v, token, pos, hi, lo = decode_chunk(
+                    self.params, k, v, token, pos, jnp.int32(limit), hi, lo,
+                    cfg=self.model_cfg, **statics)
             arr = np.asarray(packed)  # the one host sync per chunk
             n, done = int(arr[-2]), bool(arr[-1])
             self._kv = (k, v)
@@ -152,6 +221,44 @@ class Engine:
             if n:
                 yield arr[:n], done
             if n == 0:
+                break
+
+    def _decode_chunks_slot(self, token, pos, limit: int,
+                            emit_at_limit: bool):
+        """B=1 dispatch of the serving decode program (see _decode_chunks)."""
+        from qwen3_tpu.runtime.batched import batched_decode_chunk
+
+        k, v = self._kv
+        hi, lo = self._rng
+        t = self.tokenizer
+        chunk = self.cfg.decode_chunk
+        token = jnp.reshape(token, (1,)).astype(jnp.int32)
+        pos = jnp.reshape(jnp.asarray(pos, jnp.int32), (1,))
+        done_a = jnp.zeros((1,), jnp.bool_)
+        hi = jnp.reshape(hi, (1,)).astype(jnp.uint32)
+        lo = jnp.reshape(lo, (1,)).astype(jnp.uint32)
+        temp = jnp.full((1,), self.sampler.temperature, jnp.float32)
+        topp = jnp.full((1,), self.sampler.top_p, jnp.float32)
+        emit = jnp.full((1,), emit_at_limit, jnp.bool_)
+        lim = jnp.full((1,), limit, jnp.int32)
+        done = False
+        while not done:
+            packed, k, v, token, pos, done_a, hi, lo = batched_decode_chunk(
+                self.params, k, v, token, pos, lim, done_a, hi, lo,
+                temp, topp, emit, cfg=self.model_cfg, mode=self.cfg.mode,
+                chunk=chunk, greedy=self.greedy, bos=t.special.bos,
+                eos=t.special.eos, top_k=self.cfg.top_k, attn=self.cfg.attn,
+                use_side=self.cfg.decode_impl == "side")
+            row = np.asarray(packed)[0]   # the one host sync per chunk
+            toks = row[:chunk]
+            toks = toks[toks >= 0]
+            done = bool(row[-1])
+            self._kv = (k, v)
+            self._rng = (hi[0], lo[0])
+            self._last_pos = pos[0]
+            if len(toks):
+                yield toks, done
+            else:
                 break
 
     # -- completion (single turn) ---------------------------------------------

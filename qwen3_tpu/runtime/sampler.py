@@ -96,10 +96,14 @@ class Sampler:
 
 
 def _nucleus_pick(order: jnp.ndarray, sp: jnp.ndarray, coin: jnp.ndarray,
-                  top_p: float, default_idx) -> jnp.ndarray:
-    """Shared truncation + inverse-CDF over descending (order, probs)."""
+                  top_p, default_idx) -> jnp.ndarray:
+    """Shared truncation + inverse-CDF over descending (order, probs).
+
+    `top_p` is a python float (one nucleus bound for every row) or a [B]
+    fp32 array (per-row bounds — the per-request sampler path)."""
     cum = jnp.cumsum(sp, axis=-1, dtype=jnp.float32)
-    exceeded = cum > jnp.float32(top_p)
+    tp = jnp.asarray(top_p, jnp.float32)
+    exceeded = cum > (tp[:, None] if tp.ndim else tp)
     has_break = jnp.any(exceeded, axis=-1)
     idx = jnp.where(has_break, jnp.argmax(exceeded, axis=-1), default_idx)
     mass = jnp.take_along_axis(cum, idx[:, None], axis=-1)[:, 0]
@@ -117,15 +121,19 @@ def _nucleus_pick(order: jnp.ndarray, sp: jnp.ndarray, coin: jnp.ndarray,
 
 
 def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
-                  temperature: float, top_p: float,
-                  greedy: bool = False, top_k_hint: int = 0) -> jnp.ndarray:
+                  temperature, top_p,
+                  greedy=False, top_k_hint: int = 0) -> jnp.ndarray:
     """Functional batched nucleus sampling (traceable inside loops).
 
     logits: [B, V] fp32, coin: [B] fp32 in [0,1). Returns [B] int32 token ids.
-    `temperature`/`top_p` must already be clamped. With `greedy=True` the
-    full sort is skipped and argmax is returned (equivalent to the epsilon-
-    temperature path for non-tied logits; the reference resolves exact fp32
-    ties by coin flip, argmax by lowest id).
+    `temperature`/`top_p` must already be clamped; each is a python float
+    (whole-batch) or a [B] fp32 array (per-request sampling — the math per
+    row is bitwise identical to the scalar path with that row's values, so
+    batched streams stay bit-equal to single-stream runs). With `greedy=True`
+    (static) the full sort is skipped and argmax is returned (equivalent to
+    the epsilon-temperature path for non-tied logits; the reference resolves
+    exact fp32 ties by coin flip, argmax by lowest id); a [B] bool array
+    applies argmax per row.
 
     `top_k_hint` > 0 enables the fast path: if the top-k prefix already
     exceeds top_p, the nucleus is fully contained in it and sampling over the
@@ -133,10 +141,11 @@ def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
     (lax.cond, paid only when taken). Peaked real-model distributions almost
     always hit the fast path.
     """
-    if greedy:
+    if isinstance(greedy, bool) and greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     B, V = logits.shape
-    x = logits.astype(jnp.float32) / jnp.float32(temperature)
+    temp = jnp.asarray(temperature, jnp.float32)
+    x = logits.astype(jnp.float32) / (temp[:, None] if temp.ndim else temp)
     probs = jax.nn.softmax(x, axis=-1)
 
     def full_sort(probs_coin):
@@ -146,17 +155,24 @@ def sample_tokens(logits: jnp.ndarray, coin: jnp.ndarray,
         return _nucleus_pick(order, sp, coin, top_p, V - 1)
 
     if not top_k_hint or top_k_hint >= V:
-        return full_sort((probs, coin))
+        sampled = full_sort((probs, coin))
+    else:
+        k = top_k_hint
+        # descending, ties by lower index
+        sp_k, order_k = jax.lax.top_k(probs, k)
+        covered = jnp.sum(sp_k, axis=-1) > jnp.maximum(
+            jnp.asarray(top_p, jnp.float32), jnp.float32(_HEAL_EPS))
 
-    k = top_k_hint
-    sp_k, order_k = jax.lax.top_k(probs, k)  # descending, ties by lower index
-    covered = jnp.sum(sp_k, axis=-1) > jnp.float32(max(top_p, _HEAL_EPS))
+        def fast(probs_coin):
+            _, coin = probs_coin
+            return _nucleus_pick(order_k, sp_k, coin, top_p, k - 1)
 
-    def fast(probs_coin):
-        _, coin = probs_coin
-        return _nucleus_pick(order_k, sp_k, coin, top_p, k - 1)
-
-    return jax.lax.cond(jnp.all(covered), fast, full_sort, (probs, coin))
+        sampled = jax.lax.cond(jnp.all(covered), fast, full_sort,
+                               (probs, coin))
+    if isinstance(greedy, bool):
+        return sampled
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                     sampled)
 
 
 @functools.partial(jax.jit, static_argnames=("temperature", "top_p"))

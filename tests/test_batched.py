@@ -23,10 +23,13 @@ def ckpt(tmp_path_factory, tiny_weights, tiny_tok):
 PROMPTS = ["the cat", "in the hat and", "er on at", "the the the", "and er"]
 
 
-def single_stream(ckpt, prompt, seed, temp, max_tokens):
+def single_stream(ckpt, prompt, seed, temp, max_tokens, decode_impl="side"):
+    # decode_impl="side" matches BatchedEngine's default side_buffer=True
+    # program; "slot" matches side_buffer=False (see EngineConfig.decode_impl)
     eng = Engine(EngineConfig(path=ckpt, seed=seed, temperature=temp,
                               top_p=0.9, seq_len=96, mode="exact",
-                              prefill_chunk=16, decode_chunk=8))
+                              prefill_chunk=16, decode_chunk=8,
+                              decode_impl=decode_impl))
     res = eng.generate(prompt, max_tokens=max_tokens)
     return res.ids
 
@@ -45,6 +48,102 @@ def test_batched_matches_single_stream(ckpt, temp):
         want = single_stream(ckpt, PROMPTS[i], 100 + i, temp, 12)
         got = req.prompt_ids + req.out_ids
         assert got == want, f"req {i}: {got} != {want}"
+
+
+@pytest.mark.parametrize("decode_impl,side_buffer",
+                         [("side", True), ("slot", False)])
+def test_batched_chat_matches_chat_session(ckpt, decode_impl, side_buffer):
+    """Two interleaved multi-turn conversations + a completion request on
+    one slot pool: every conversation's reply stream must be bit-equal to a
+    dedicated single-stream ChatSession with the same seed (template, RNG
+    burn, KV continuation, overflow reset). Holds by construction — both
+    engines dispatch the same compiled prefill/decode programs (per-row math
+    is batch-size-independent) — in both the side-buffer and scatter decode
+    modes."""
+    from qwen3_tpu.runtime.batched_chat import BatchedChat
+    from qwen3_tpu.runtime.chat import ChatSession
+
+    turns = ["the cat", "in the hat and er", "on at the the"]
+    seq_len = 96
+
+    def single(seed, system):
+        eng = Engine(EngineConfig(path=ckpt, seed=seed, temperature=0.8,
+                                  top_p=0.9, seq_len=seq_len, mode="exact",
+                                  prefill_chunk=16, decode_chunk=8,
+                                  decode_impl=decode_impl))
+        session = ChatSession(eng, system_prompt=system)
+        return [session.send(t) for t in turns]
+
+    want_a = single(11, "sys a")
+    want_b = single(22, None)
+
+    beng = BatchedEngine(ckpt, max_batch=3, seq_len=seq_len, mode="exact",
+                         temperature=0.8, top_p=0.9, prefill_bucket=16,
+                         decode_chunk=8, side_buffer=side_buffer)
+    chat = BatchedChat(beng)
+    conv_a = chat.new_conversation(seed=11, system_prompt="sys a")
+    conv_b = chat.new_conversation(seed=22)
+    got_a, got_b = [], []
+    for i, t in enumerate(turns):
+        ra = chat.submit_turn(conv_a, t)
+        rb = chat.submit_turn(conv_b, t)
+        if i == 0:  # completion traffic shares the pool mid-conversation
+            beng.submit(Request(prompt="the the", seed=5, max_tokens=6))
+        beng.run()
+        chat.finish_turn(conv_a, ra)
+        chat.finish_turn(conv_b, rb)
+        got_a.append(beng.tokenizer.decode(ra.out_ids))
+        got_b.append(beng.tokenizer.decode(rb.out_ids))
+    assert got_a == want_a
+    assert got_b == want_b
+
+
+def test_batched_chat_overflow_resets(ckpt):
+    """Keep sending turns until the context overflows: the conversation must
+    reset its position (reference semantics) and keep producing the same
+    streams as the single-stream ChatSession."""
+    from qwen3_tpu.runtime.batched_chat import BatchedChat
+    from qwen3_tpu.runtime.chat import ChatSession
+
+    seq_len = 48
+    turns = ["the cat in the hat", "er on at the", "and the thinker"]
+
+    eng = Engine(EngineConfig(path=ckpt, seed=9, temperature=0.0,
+                              top_p=0.9, seq_len=seq_len, mode="exact",
+                              prefill_chunk=16, decode_chunk=8))
+    session = ChatSession(eng)
+    want = [session.send(t) for t in turns]
+
+    beng = BatchedEngine(ckpt, max_batch=2, seq_len=seq_len, mode="exact",
+                         temperature=0.0, prefill_bucket=16, decode_chunk=8)
+    chat = BatchedChat(beng)
+    conv = chat.new_conversation(seed=9)
+    got = [chat.send(conv, t) for t in turns]
+    assert conv.last_stop in ("eos", "limit")
+    assert got == want
+
+
+def test_per_request_sampler_params(ckpt):
+    """Mixed greedy + sampled requests with per-request temperature/top_p in
+    ONE batch must each bit-match the single-stream engine configured with
+    that request's sampler."""
+    configs = [(0.0, 0.9), (0.9, 0.9), (0.7, 0.5), (0.0, 1.0), (1.3, 0.95)]
+    eng = BatchedEngine(ckpt, max_batch=3, seq_len=96, mode="exact",
+                        temperature=0.4, top_p=0.8, prefill_bucket=16,
+                        decode_chunk=8)
+    reqs = [eng.submit(Request(prompt=PROMPTS[i], seed=100 + i,
+                               max_tokens=12, temperature=t, top_p=p))
+            for i, (t, p) in enumerate(configs)]
+    eng.run()
+    for i, req in enumerate(reqs):
+        t, p = configs[i]
+        ref = Engine(EngineConfig(path=ckpt, seed=100 + i, temperature=t,
+                                  top_p=p, seq_len=96, mode="exact",
+                                  prefill_chunk=16, decode_chunk=8))
+        want = ref.generate(PROMPTS[i], max_tokens=12).ids
+        got = req.prompt_ids + req.out_ids
+        assert got == want, f"req {i} (t={t}, p={p}): {got} != {want}"
+        assert req.prompt_ms > 0 and req.generate_ms > 0
 
 
 def test_streaming_callback(ckpt):

@@ -38,6 +38,21 @@ def test_chat_mode_scripted_stdin(ckpt, capsys, monkeypatch):
     assert "[t/ms" in err
 
 
+def test_completion_tp2_matches_tp1(ckpt, capsys):
+    """--tp 2 builds a (1,2) mesh over the virtual CPU devices and must
+    reproduce the single-device greedy stream (pallas mode)."""
+    rc = main([ckpt, "-m", "completion", "-i", "the cat", "-t", "0",
+               "-s", "7", "-c", "64", "--qmode", "pallas",
+               "--max-tokens", "8", "--tp", "2"])
+    assert rc == 0
+    out_tp = capsys.readouterr().out
+    rc = main([ckpt, "-m", "completion", "-i", "the cat", "-t", "0",
+               "-s", "7", "-c", "64", "--qmode", "pallas",
+               "--max-tokens", "8"])
+    assert rc == 0
+    assert capsys.readouterr().out == out_tp
+
+
 def test_bad_mode_rejected(ckpt):
     with pytest.raises(SystemExit):
         main([ckpt, "-m", "nope"])

@@ -124,6 +124,106 @@ def test_tp_int8_kv(weights):
     assert np.isfinite(_gather(lg2)).all()
 
 
+def test_tp_batched_chunk_matches_single(weights, single):
+    """Full serving decode chunk (while_loop + sampler + RNG) under the mesh:
+    greedy token streams must equal the single-device batched chunk."""
+    from qwen3_tpu.parallel.tp import (
+        make_tp_batched_chunk,
+        make_tp_prefill_into_slot,
+    )
+    from qwen3_tpu.runtime.batched import (
+        batched_decode_chunk,
+        prefill_slot_chunk,
+    )
+    from qwen3_tpu.runtime.decode_loop import burn_and_sample
+    from qwen3_tpu.runtime.xorshift import seed_to_device
+
+    dp, tp = 2, 2
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, T, CHUNK = 2 * dp, 8, 6
+    statics = dict(mode="pallas", chunk=CHUNK, greedy=True, bos=0, eos=1,
+                   top_k=0, use_side=False)
+    temp = jnp.full((B,), 1e-6, jnp.float32)
+    topp = jnp.full((B,), 0.9, jnp.float32)
+
+    def run(kv, params, prefill_fn, chunk_fn):
+        k, v = kv
+        token = jnp.zeros((B,), jnp.int32)
+        hi = jnp.zeros((B,), jnp.uint32)
+        lo = jnp.zeros((B,), jnp.uint32)
+        for b in range(B):
+            ids = jnp.asarray([(7 * b + i) % 101 + 2 for i in range(T)],
+                              jnp.int32)
+            h0, l0 = seed_to_device(b + 1)
+            tok, k, v, h, l = prefill_fn(params, k, v, ids, jnp.int32(T),
+                                         jnp.int32(b), h0, l0, jnp.int32(0),
+                                         temp[0], topp[0])
+            token = token.at[b].set(tok)
+            hi = hi.at[b].set(h)
+            lo = lo.at[b].set(l)
+        pos = jnp.full((B,), T, jnp.int32)
+        limit = jnp.full((B,), T + CHUNK, jnp.int32)
+        done = jnp.zeros((B,), jnp.bool_)
+        emit_lim = jnp.zeros((B,), jnp.bool_)
+        packed, *_ = chunk_fn(params, k, v, token, pos, limit, done, hi, lo,
+                              temp, topp, emit_lim)
+        return np.asarray(packed)[:, :CHUNK]
+
+    def single_prefill(p, k, v, ids, n_valid, slot, h0, l0, n_burn, tmp, tpp):
+        logits, k, v = prefill_slot_chunk(p, k, v, ids, slot, jnp.int32(0),
+                                          n_valid - 1, cfg=CFG, mode="pallas")
+        tok, hi, lo = burn_and_sample(logits, h0, l0, n_burn, tmp, tpp,
+                                      greedy=True, top_k=0)
+        return tok[0], k, v, hi, lo
+
+    # single-device baseline
+    kv1 = init_kv_cache(CFG, B, SEQ)
+    out1 = run(
+        kv1, single,
+        single_prefill,
+        lambda p, k, v, *a: batched_decode_chunk(p, k, v, *a, cfg=CFG,
+                                                 **statics))
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim,
+                          SEQ)
+    kv2 = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    pre = make_tp_prefill_into_slot(mesh, CFG, params, kv2, mode="pallas",
+                                    greedy=True)
+    chunk = make_tp_batched_chunk(mesh, CFG, params, kv2, **statics)
+    out2 = run(kv2, params, pre, chunk)
+
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_tp_single_stream_chunk(weights, single):
+    """decode_chunk under a (1, tp) mesh reproduces the single-device greedy
+    stream."""
+    from qwen3_tpu.parallel.tp import make_tp_decode_chunk
+    from qwen3_tpu.runtime.decode_loop import decode_chunk
+    from qwen3_tpu.runtime.xorshift import seed_to_device
+
+    tp = 2
+    mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+    statics = dict(mode="pallas", chunk=8, temperature=0.0, top_p=0.9,
+                   greedy=True, bos=0, eos=1, emit_at_limit=False, top_k=0,
+                   attn="dense")
+    hi, lo = seed_to_device(3)
+    tok = jnp.asarray([7], jnp.int32)
+
+    k1, v1 = init_kv_cache(CFG, 1, SEQ)
+    packed1, *_ = decode_chunk(single, k1, v1, tok, jnp.int32(0),
+                               jnp.int32(SEQ), hi, lo, cfg=CFG, **statics)
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim,
+                          SEQ)
+    kv = init_sharded_kv(CFG, 1, SEQ, jnp.float32, mesh)
+    chunk_fn = make_tp_decode_chunk(mesh, CFG, params, kv, **statics)
+    packed2, *_ = chunk_fn(params, kv[0], kv[1], tok, jnp.int32(0),
+                           jnp.int32(SEQ), hi, lo)
+
+    np.testing.assert_array_equal(np.asarray(packed1), np.asarray(packed2))
+
+
 def test_local_config_validates():
     with pytest.raises(ValueError):
         local_config(CFG, 4)  # tiny has n_kv_heads=2
