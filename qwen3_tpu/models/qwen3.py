@@ -321,6 +321,30 @@ def _flash(q, k_vals, v_vals, positions, ks, vs):
                             interpret=_jax.default_backend() == "cpu")
 
 
+def _flash_prefill(q, k_vals, v_vals, positions, ks, vs):
+    """Block-causal flash prefill attention: same values as gqa_attention up
+    to online-softmax fp32 reduction order."""
+    import jax as _jax
+
+    from qwen3_tpu.ops.pallas.flash_decode import flash_prefill_gqa
+
+    return flash_prefill_gqa(q, k_vals, v_vals, positions, ks, vs,
+                             interpret=_jax.default_backend() == "cpu")
+
+
+def _flash_two_segment(q, k_main, v_main, k_side, v_side, base_pos, offsets,
+                       k_ms, v_ms, k_ss, v_ss):
+    """Flash decode over the side-buffer serving layout: same values as
+    gqa_attention_two_segment up to online-softmax fp32 reduction order."""
+    import jax as _jax
+
+    from qwen3_tpu.ops.pallas.flash_decode import flash_decode_gqa_two_segment
+
+    return flash_decode_gqa_two_segment(
+        q, k_main, v_main, k_side, v_side, base_pos, offsets,
+        k_ms, v_ms, k_ss, v_ss, interpret=_jax.default_backend() == "cpu")
+
+
 def _make_linear(mode: str, group_size: int):
     if mode == "exact":
         def linear(x, layer_w):
@@ -472,6 +496,8 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         if attn == "flash" and T == 1:
             att = _flash(q[:, 0], kl, vl,
                          jnp.broadcast_to(positions, (B,)), ks, vs)[:, None]
+        elif attn == "flash":
+            att = _flash_prefill(q, kl, vl, positions, ks, vs)
         else:
             att = gqa_attention(q, kl, vl, positions, ks, vs)  # [B,T,H,D]
         x = x + reduce_(linear(att.reshape(B, T, H * D), lw("wo")))
@@ -531,9 +557,10 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     ONLY (rows idx < base_pos[b]); the new K/V rows go into the chunk side
     buffers [L, B, C, KV, D] at the *uniform* step index — one fast-path
     dynamic_update_slice instead of B scattered ones — and attention runs
-    over both segments (ops.attention.gqa_attention_two_segment). Returns
-    (logits, new_k_side, new_v_side); the serving loop merges side rows
-    back into the main cache once per chunk (runtime/batched.py).
+    over both segments (dense: ops.attention.gqa_attention_two_segment;
+    attn="flash": ops.pallas.flash_decode.flash_decode_gqa_two_segment).
+    Returns (logits, new_k_side, new_v_side); the serving loop merges side
+    rows back into the main cache once per chunk (runtime/batched.py).
     """
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -653,16 +680,20 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 kms = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
                 vms = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
             # main cache read-only from the closure (a scan carry would
-            # double-buffer it); flash doesn't know side buffers yet, so
-            # `side` always uses the dense two-segment path
+            # double-buffer it)
             if attn == "none":  # debug: isolate attention cost in benches
                 att = jnp.zeros((B, H, D), jnp.float32)
             else:
                 kml = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
                 vml = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
-                att = gqa_attention_two_segment(
-                    q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
-                    k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
+                if attn == "flash":
+                    att = _flash_two_segment(
+                        q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
+                        kms, vms, kss, vss)
+                else:
+                    att = gqa_attention_two_segment(
+                        q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
+                        k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
 
         x = x + reduce_(linear(att.reshape(B, 1, H * D), lw("wo")))
 

@@ -293,13 +293,6 @@ class BatchedEngine:
             mc, self.params = load_params(path, mode=mode,
                                           max_seq_len=seq_len)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
-        if attn == "flash" and side_buffer:
-            # decode_forward_impl's side path always runs dense two-segment
-            # attention (flash can't read the side buffers yet); fail loudly
-            # instead of silently ignoring the flag
-            raise ValueError(
-                "attn='flash' requires side_buffer=False: the side-buffer "
-                "decode path only implements dense two-segment attention")
         self.mode = mode
         self.attn = attn
         self.side_buffer = side_buffer

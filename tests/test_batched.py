@@ -194,6 +194,26 @@ def test_side_buffer_merge_at_seq_len_edge(ckpt):
         assert got == want[:len(got)]
 
 
+@pytest.mark.parametrize("kv_dtype,side", [("float32", True),
+                                           ("int8", True),
+                                           ("float32", False)])
+def test_flash_attn_serving_matches_dense(ckpt, kv_dtype, side):
+    """attn='flash' in the serving engine — including the side-buffer layout
+    (flash_decode_gqa_two_segment) — must produce the same greedy streams as
+    dense attention."""
+    def run(attn):
+        eng = BatchedEngine(ckpt, max_batch=3, seq_len=96, mode="exact",
+                            temperature=0.0, prefill_bucket=16,
+                            decode_chunk=8, kv_dtype=kv_dtype,
+                            side_buffer=side, attn=attn)
+        reqs = [eng.submit(Request(prompt=p, seed=3 + i, max_tokens=16))
+                for i, p in enumerate(PROMPTS)]
+        eng.run()
+        return [r.prompt_ids + r.out_ids for r in reqs]
+
+    assert run("flash") == run("dense")
+
+
 def test_more_requests_than_slots_all_finish(ckpt):
     eng = BatchedEngine(ckpt, max_batch=2, seq_len=96, mode="exact",
                         temperature=0.0, prefill_bucket=16, decode_chunk=8)
