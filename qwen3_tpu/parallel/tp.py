@@ -345,30 +345,30 @@ def make_tp_batched_chunk(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
     return jax.jit(fn, donate_argnums=(1, 2))
 
 
-def make_tp_prefill_into_slot(mesh: Mesh, cfg: ModelConfig,
-                              params_tree: dict, kv_tree, *, mode: str,
-                              greedy: bool):
-    """TP/DP version of runtime.batched.prefill_into_slot.
+def make_tp_prefill_slot_chunk(mesh: Mesh, cfg: ModelConfig,
+                               params_tree: dict, kv_tree, *, mode: str,
+                               attn: str = "dense"):
+    """TP/DP version of runtime.batched.prefill_slot_chunk — one prompt
+    chunk into one cache slot. The caller drives the chunk loop and the
+    first-token sampling (decode_loop.prefill_blocks + burn_and_sample, the
+    same pieces the single-device engines share), on the replicated
+    all-gathered logits.
 
-    `slot` is the GLOBAL batch index; with dp>1 each dp shard holds
-    B/dp slots, so the owning shard is slot // (B/dp). Every shard runs the
+    `slot` is the GLOBAL batch index; with dp>1 each dp shard holds B/dp
+    slots, so the owning shard is slot // (B/dp). Every shard runs the
     (cheap, prompt-sized) forward — they must anyway, for the tp
     collectives — but only the owner's cache rows are written; the others
-    re-write their own current rows. The sampled first token comes out of
-    identical replicated logits, so all shards agree."""
+    re-write their own current rows."""
     import jax.numpy as _jnp
     from jax import lax
 
     from qwen3_tpu.models.qwen3 import forward_impl
-    from qwen3_tpu.runtime.sampler import sample_tokens
-    from qwen3_tpu.runtime.xorshift import xorshift_coin_device
 
     tp, dp = mesh.shape["tp"], mesh.shape["dp"]
     cfg_loc = local_config(cfg, tp)
     kspecs = kv_specs(kv_tree)
 
-    def body(p, k_cache, v_cache, tokens, n_valid, slot, rng_hi, rng_lo,
-             n_burn, temp, topp):
+    def body(p, k_cache, v_cache, tokens, slot, start_pos, last_pos):
         pl = _unlead(p)
         bl = jax.tree.leaves(k_cache)[0].shape[1]   # local slots per shard
         my = lax.axis_index("dp") if dp > 1 else _jnp.int32(0)
@@ -384,27 +384,17 @@ def make_tp_prefill_into_slot(mesh: Mesh, cfg: ModelConfig,
         kv_rows = jax.tree.map(take, k_cache)
         vv_rows = jax.tree.map(take, v_cache)
         logits, kr, vr = forward_impl(
-            pl, cfg_loc, tokens[None, :], kv_rows, vv_rows, _jnp.int32(0),
-            mode=mode, last_pos=n_valid - 1,
+            pl, cfg_loc, tokens[None, :], kv_rows, vv_rows, start_pos,
+            mode=mode, attn=attn, last_pos=last_pos,
             axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size)
         k_cache = jax.tree.map(put, k_cache, kr)
         v_cache = jax.tree.map(put, v_cache, vr)
-        last = logits[0, 0]
-
-        def burn(_, s):
-            hi, lo, _c = xorshift_coin_device(s[0], s[1])
-            return (hi, lo)
-
-        rng_hi, rng_lo = lax.fori_loop(0, n_burn, burn, (rng_hi, rng_lo))
-        hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
-        g = greedy if greedy else (temp <= 1e-6)
-        tok = sample_tokens(last[None, :], coin[None], temp, topp, greedy=g)
-        return tok[0], k_cache, v_cache, hi, lo
+        return logits[0, 0], k_cache, v_cache
 
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(_pspecs(params_tree), kspecs[0], kspecs[1],
-                  P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), kspecs[0], kspecs[1], P(), P()),
+                  P(), P(), P(), P()),
+        out_specs=(P(), kspecs[0], kspecs[1]),
         check_vma=False)
     return jax.jit(fn, donate_argnums=(1, 2))

@@ -280,18 +280,32 @@ class BatchedEngine:
                  top_p: float = 0.9, kv_dtype: str = "float32",
                  prefill_bucket: int = 128, decode_chunk: int = 32,
                  top_k: int = 64, attn: str = "dense",
-                 side_buffer: bool = True,
+                 side_buffer: bool = True, tp: int = 1, dp: int = 1,
                  model_cfg: ModelConfig | None = None, params=None):
         """`model_cfg`/`params` inject an already-on-device parameter pytree
         (e.g. bench.py's device-synthesized params), skipping the checkpoint
-        load; `path` is then only read for the `.tokenizer` sidecar."""
+        load; `path` is then only read for the `.tokenizer` sidecar.
+
+        `tp`/`dp` > 1 builds a (dp, tp) mesh over jax.devices() and serves
+        through the shard_map programs in parallel/tp.py: weights
+        tensor-parallel (pallas modes; TP-aware fused packing), the KV cache
+        and per-slot state batch-sharded over dp (max_batch % dp == 0)."""
         self.tokenizer = Tokenizer.from_file(path)
+        self._mesh = None
+        if tp > 1 or dp > 1:
+            from qwen3_tpu.parallel import make_mesh
+
+            if max_batch % dp:
+                raise ValueError(f"max_batch={max_batch} must divide over "
+                                 f"dp={dp}")
+            self._mesh = make_mesh(dp=dp, tp=tp)
         if params is not None:
             assert model_cfg is not None, "params injection needs model_cfg"
             mc, self.params = model_cfg, params
         else:
             mc, self.params = load_params(path, mode=mode,
-                                          max_seq_len=seq_len)
+                                          max_seq_len=seq_len, tp=tp,
+                                          mesh=self._mesh)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
         self.attn = attn
@@ -308,8 +322,15 @@ class BatchedEngine:
         # side-buffer mode merges a full chunk window per slot; the extra
         # rows absorb the overhang of a slot finishing right at seq_len
         cache_rows = self.cfg.seq_len + (decode_chunk if side_buffer else 0)
-        self._kv = init_kv_cache(self.cfg, B, cache_rows,
-                                 jnp.dtype(kv_dtype))
+        if self._mesh is not None:
+            from qwen3_tpu.parallel.tp import init_sharded_kv
+
+            self._kv = init_sharded_kv(self.cfg, B, cache_rows,
+                                       jnp.dtype(kv_dtype), self._mesh)
+        else:
+            self._kv = init_kv_cache(self.cfg, B, cache_rows,
+                                     jnp.dtype(kv_dtype))
+        self._tp_fns: dict = {}
         # per-slot sampler params (engine defaults until a request overrides)
         self._temp_host = np.full((B,), self.temperature, np.float32)
         self._topp_host = np.full((B,), self.top_p, np.float32)
@@ -382,10 +403,16 @@ class BatchedEngine:
         logits = None
         for off, block, n_valid in prefill_blocks(
                 ids, req.start_pos, self.prefill_bucket, self.cfg.seq_len):
-            logits, k, v = prefill_slot_chunk(
-                self.params, k, v, jnp.asarray(block, jnp.int32),
-                jnp.int32(b), jnp.int32(req.start_pos + off),
-                jnp.int32(n_valid - 1), cfg=self.cfg, mode=self.mode)
+            if self._mesh is not None:
+                logits, k, v = self._tp_fn("prefill")(
+                    self.params, k, v, jnp.asarray(block, jnp.int32),
+                    jnp.int32(b), jnp.int32(req.start_pos + off),
+                    jnp.int32(n_valid - 1))
+            else:
+                logits, k, v = prefill_slot_chunk(
+                    self.params, k, v, jnp.asarray(block, jnp.int32),
+                    jnp.int32(b), jnp.int32(req.start_pos + off),
+                    jnp.int32(n_valid - 1), cfg=self.cfg, mode=self.mode)
         self._kv = (k, v)
 
         if req.rng is not None:
@@ -412,20 +439,42 @@ class BatchedEngine:
         self._rng_lo = self._rng_lo.at[b].set(lo)
         self._slots[b].req = req
 
+    def _tp_fn(self, kind: str, **statics):
+        """Memoized shard_map serving programs (parallel/tp.py)."""
+        key = (kind, tuple(sorted(statics.items())))
+        if key not in self._tp_fns:
+            from qwen3_tpu.parallel import tp as _tp
+
+            if kind == "prefill":
+                fn = _tp.make_tp_prefill_slot_chunk(
+                    self._mesh, self.cfg, self.params, self._kv,
+                    mode=self.mode)
+            else:
+                fn = _tp.make_tp_batched_chunk(
+                    self._mesh, self.cfg, self.params, self._kv, **statics)
+            self._tp_fns[key] = fn
+        return self._tp_fns[key]
+
     def _step(self) -> list[Request]:
         """One batched decode chunk; returns requests finished this chunk."""
         if not any(s.req for s in self._slots):
             return []
         all_greedy = bool((self._temp_host <= _GREEDY_EPS).all())
-        packed, k, v, tok, pos, done, hi, lo = batched_decode_chunk(
-            self.params, self._kv[0], self._kv[1], self._token, self._pos,
-            jnp.asarray(self._limit), self._done, self._rng_hi, self._rng_lo,
-            jnp.asarray(self._temp_host), jnp.asarray(self._topp_host),
-            jnp.asarray(self._emit_host),
-            cfg=self.cfg, mode=self.mode, chunk=self.decode_chunk,
+        statics = dict(
+            mode=self.mode, chunk=self.decode_chunk,
             greedy=all_greedy, bos=self.tokenizer.special.bos,
             eos=self.tokenizer.special.eos, top_k=self.top_k,
             attn=self.attn, use_side=self.side_buffer)
+        args = (self.params, self._kv[0], self._kv[1], self._token,
+                self._pos, jnp.asarray(self._limit), self._done,
+                self._rng_hi, self._rng_lo, jnp.asarray(self._temp_host),
+                jnp.asarray(self._topp_host), jnp.asarray(self._emit_host))
+        if self._mesh is not None:
+            packed, k, v, tok, pos, done, hi, lo = self._tp_fn(
+                "chunk", **statics)(*args)
+        else:
+            packed, k, v, tok, pos, done, hi, lo = batched_decode_chunk(
+                *args, cfg=self.cfg, **statics)
         self._kv = (k, v)
         self._token, self._pos, self._done = tok, pos, done
         self._rng_hi, self._rng_lo = hi, lo

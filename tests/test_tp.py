@@ -129,7 +129,7 @@ def test_tp_batched_chunk_matches_single(weights, single):
     greedy token streams must equal the single-device batched chunk."""
     from qwen3_tpu.parallel.tp import (
         make_tp_batched_chunk,
-        make_tp_prefill_into_slot,
+        make_tp_prefill_slot_chunk,
     )
     from qwen3_tpu.runtime.batched import (
         batched_decode_chunk,
@@ -169,28 +169,30 @@ def test_tp_batched_chunk_matches_single(weights, single):
                               temp, topp, emit_lim)
         return np.asarray(packed)[:, :CHUNK]
 
-    def single_prefill(p, k, v, ids, n_valid, slot, h0, l0, n_burn, tmp, tpp):
-        logits, k, v = prefill_slot_chunk(p, k, v, ids, slot, jnp.int32(0),
-                                          n_valid - 1, cfg=CFG, mode="pallas")
-        tok, hi, lo = burn_and_sample(logits, h0, l0, n_burn, tmp, tpp,
-                                      greedy=True, top_k=0)
-        return tok[0], k, v, hi, lo
+    def mk_prefill(chunk_fn):
+        def prefill(p, k, v, ids, n_valid, slot, h0, l0, n_burn, tmp, tpp):
+            logits, k, v = chunk_fn(p, k, v, ids, slot, jnp.int32(0),
+                                    n_valid - 1)
+            tok, hi, lo = burn_and_sample(logits, h0, l0, n_burn, tmp, tpp,
+                                          greedy=True, top_k=0)
+            return tok[0], k, v, hi, lo
+        return prefill
 
     # single-device baseline
     kv1 = init_kv_cache(CFG, B, SEQ)
     out1 = run(
         kv1, single,
-        single_prefill,
+        mk_prefill(lambda p, k, v, ids, slot, sp, lp: prefill_slot_chunk(
+            p, k, v, ids, slot, sp, lp, cfg=CFG, mode="pallas")),
         lambda p, k, v, *a: batched_decode_chunk(p, k, v, *a, cfg=CFG,
                                                  **statics))
 
     params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim,
                           SEQ)
     kv2 = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
-    pre = make_tp_prefill_into_slot(mesh, CFG, params, kv2, mode="pallas",
-                                    greedy=True)
+    pre = make_tp_prefill_slot_chunk(mesh, CFG, params, kv2, mode="pallas")
     chunk = make_tp_batched_chunk(mesh, CFG, params, kv2, **statics)
-    out2 = run(kv2, params, pre, chunk)
+    out2 = run(kv2, params, mk_prefill(pre), chunk)
 
     np.testing.assert_array_equal(out1, out2)
 
@@ -231,3 +233,32 @@ def test_local_config_validates():
     assert loc.n_heads == 2 and loc.n_kv_heads == 1
     assert loc.hidden_dim == CFG.hidden_dim // 2
     assert loc.vocab_size * 2 >= CFG.vocab_size
+
+
+def test_batched_engine_on_mesh_matches_single(tmp_path, weights):
+    """The PRODUCT path: BatchedEngine(tp=2, dp=2) serving mixed requests on
+    the virtual mesh — streams must equal the single-device BatchedEngine for
+    the same seeds (greedy: the tp psum reduction order can't flip argmax on
+    well-separated synthetic logits)."""
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    from qwen3_tpu.runtime.batched import BatchedEngine, Request
+
+    ckpt = str(tmp_path / "tiny.bin")
+    write_checkpoint(ckpt, weights)
+    write_tokenizer_bin(ckpt + ".tokenizer",
+                        synthetic_tokenizer(CFG.vocab_size))
+    prompts = ["the cat", "in the hat and", "er on at", "the the"]
+
+    def run(**mesh_kw):
+        eng = BatchedEngine(ckpt, max_batch=4, seq_len=SEQ, mode="pallas",
+                            temperature=0.0, prefill_bucket=16,
+                            decode_chunk=8, kv_dtype="int8", **mesh_kw)
+        reqs = [eng.submit(Request(prompt=p, seed=i, max_tokens=10))
+                for i, p in enumerate(prompts)]
+        eng.run()
+        assert all(r.finished for r in reqs)
+        return [r.prompt_ids + r.out_ids for r in reqs]
+
+    assert run(tp=2, dp=2) == run()
