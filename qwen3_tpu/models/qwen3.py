@@ -40,7 +40,7 @@ from qwen3_tpu.ops.attention import (
     gqa_attention_two_segment,
 )
 from qwen3_tpu.ops.activations import swiglu
-from qwen3_tpu.ops.norms import rmsnorm
+from qwen3_tpu.ops.norms import rms_inv, rmsnorm
 from qwen3_tpu.ops.q8 import dequantize, quantize_act
 from qwen3_tpu.ops.quant_matmul import (
     dequant_weights_bf16,
@@ -390,6 +390,40 @@ def _make_linear(mode: str, group_size: int):
     return linear
 
 
+def _make_fused_linear(mode: str, group_size: int):
+    """Prologue-fused matmul dispatch for the pallas modes (see
+    ops/pallas/q8_matmul.q8_matmul_fused): rmsnorm / swiglu / activation
+    quantization run INSIDE the matmul kernel, removing the per-matmul XLA
+    fusion boundaries the reference pays as separate passes
+    (src/forward.c:254-262, 311-317). Enabled by QWEN3_TPU_FUSE=1 (off by
+    default until validated on real TPU hardware — interpret mode does not
+    check Mosaic constraints).
+
+    Returns fused(x, layer_w, prologue, inv=None, nw=None) or None when the
+    mode has no fused path."""
+    if not mode.startswith("pallas"):
+        return None
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("QWEN3_TPU_FUSE", "0") != "1":
+        return None
+    from qwen3_tpu.ops.pallas.q8_matmul import q8_matmul_fused
+
+    interpret = _jax.default_backend() == "cpu"
+    block_k = int(_os.environ.get("QWEN3_TPU_PALLAS_BK", "512"))
+    exact = mode != "pallas-fast"
+
+    def fused(x, layer_w, prologue, inv=None, nw=None):
+        w_qt, w_st = layer_w
+        return q8_matmul_fused(x, w_qt, w_st, group_size, inv=inv, nw=nw,
+                               prologue=prologue, exact=exact,
+                               block_k=block_k, interpret=interpret)
+
+    return fused
+
+
 def _layer_weights(p: Params, mode: str, name: str):
     if mode == "bf16":
         return (p[name + "_t"],)
@@ -423,6 +457,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B, T = tokens.shape
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     linear = _make_linear(mode, cfg.group_size)
+    fused = _make_fused_linear(mode, cfg.group_size)
     reduce_ = (lambda y: lax.psum(y, axis_name)) if axis_name else (lambda y: y)
 
     x = _embed(p, cfg, tokens)  # [B, T, dim] fp32
@@ -462,13 +497,17 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             xs[name + part]
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
-        h = rmsnorm(x, xs["att_norm"])
+        if fused is not None:
+            qkv = fused(x, lw("wqkv"), "norm", inv=rms_inv(x),
+                        nw=xs["att_norm"])
+        elif mode.startswith("pallas"):
+            qkv = linear(rmsnorm(x, xs["att_norm"]), lw("wqkv"))
         if mode.startswith("pallas"):
-            qkv = linear(h, lw("wqkv"))
             q = qkv[..., :H * D].reshape(B, T, H, D)
             k = qkv[..., H * D:(H + KV) * D].reshape(B, T, KV, D)
             v = qkv[..., (H + KV) * D:(H + 2 * KV) * D].reshape(B, T, KV, D)
         else:
+            h = rmsnorm(x, xs["att_norm"])
             q = linear(h, lw("wq")).reshape(B, T, H, D)
             k = linear(h, lw("wk")).reshape(B, T, KV, D)
             v = linear(h, lw("wv")).reshape(B, T, KV, D)
@@ -500,7 +539,14 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             att = _flash_prefill(q, kl, vl, positions, ks, vs)
         else:
             att = gqa_attention(q, kl, vl, positions, ks, vs)  # [B,T,H,D]
-        x = x + reduce_(linear(att.reshape(B, T, H * D), lw("wo")))
+        att = att.reshape(B, T, H * D)
+        if fused is not None:
+            x = x + reduce_(fused(att, lw("wo"), "none"))
+            gu = fused(x, lw("w13"), "norm", inv=rms_inv(x),
+                       nw=xs["ffn_norm"])
+            x = x + reduce_(fused(gu, lw("w2"), "swiglu"))
+            return (x, (k_vals, v_vals, k_sc, v_sc), l + 1), None
+        x = x + reduce_(linear(att, lw("wo")))
 
         h = rmsnorm(x, xs["ffn_norm"])
         if mode.startswith("pallas"):
@@ -518,13 +564,19 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     new_k = kvc.join(k_vals, k_sc)
     new_v = kvc.join(v_vals, v_sc)
 
-    x = rmsnorm(x, p["out_norm"])
     if not all_logits:
         if last_pos is None:
             x = x[:, -1:, :]
         else:
             x = lax.dynamic_slice_in_dim(x, last_pos, 1, axis=1)
-    logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
+    if fused is not None:
+        logits = fused(x, _layer_weights(p, mode, "cls"), "norm",
+                       inv=rms_inv(x),
+                       nw=p["out_norm"])[..., :cfg.vocab_size]
+    else:
+        x = rmsnorm(x, p["out_norm"])
+        logits = linear(
+            x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     if axis_name is not None:
         # vocab-sharded classifier: concatenate shard segments over the mesh
         logits = lax.all_gather(logits, axis_name, axis=-1, tiled=True)
@@ -565,6 +617,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     B = tokens.shape[0]
     H, KV, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     linear = _make_linear(mode, cfg.group_size)
+    fused = _make_fused_linear(mode, cfg.group_size)
     reduce_ = (lambda y: lax.psum(y, axis_name)) if axis_name else (lambda y: y)
 
     x = _embed(p, cfg, tokens[:, None])          # [B, 1, dim]
@@ -608,13 +661,17 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             xs[name + part]
             for part in (("_q", "_s") if mode != "bf16" else ("_t",))
         )
-        h = rmsnorm(x, xs["att_norm"])
+        if fused is not None:
+            qkv = fused(x, lw("wqkv"), "norm", inv=rms_inv(x),
+                        nw=xs["att_norm"])
+        elif mode.startswith("pallas"):
+            qkv = linear(rmsnorm(x, xs["att_norm"]), lw("wqkv"))
         if mode.startswith("pallas"):
-            qkv = linear(h, lw("wqkv"))
             q = qkv[..., :H * D].reshape(B, 1, H, D)
             k = qkv[..., H * D:(H + KV) * D].reshape(B, 1, KV, D)
             v = qkv[..., (H + KV) * D:(H + 2 * KV) * D].reshape(B, 1, KV, D)
         else:
+            h = rmsnorm(x, xs["att_norm"])
             q = linear(h, lw("wq")).reshape(B, 1, H, D)
             k = linear(h, lw("wk")).reshape(B, 1, KV, D)
             v = linear(h, lw("wv")).reshape(B, 1, KV, D)
@@ -695,7 +752,14 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
                         k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
 
-        x = x + reduce_(linear(att.reshape(B, 1, H * D), lw("wo")))
+        att = att.reshape(B, 1, H * D)
+        if fused is not None:
+            x = x + reduce_(fused(att, lw("wo"), "none"))
+            gu = fused(x, lw("w13"), "norm", inv=rms_inv(x),
+                       nw=xs["ffn_norm"])
+            x = x + reduce_(fused(gu, lw("w2"), "swiglu"))
+            return (x, (ck, cv, ck_sc, cv_sc), l + 1), None
+        x = x + reduce_(linear(att, lw("wo")))
 
         h = rmsnorm(x, xs["ffn_norm"])
         if mode.startswith("pallas"):
@@ -712,8 +776,14 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     (x, (ck, cv, ck_sc, cv_sc), _), _ = lax.scan(body, init, layer_xs)
     new_a = kvc.join(ck, ck_sc)
     new_b = kvc.join(cv, cv_sc)
-    x = rmsnorm(x, p["out_norm"])
-    logits = linear(x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
+    if fused is not None:
+        logits = fused(x, _layer_weights(p, mode, "cls"), "norm",
+                       inv=rms_inv(x),
+                       nw=p["out_norm"])[..., :cfg.vocab_size]
+    else:
+        x = rmsnorm(x, p["out_norm"])
+        logits = linear(
+            x, _layer_weights(p, mode, "cls"))[..., :cfg.vocab_size]
     if axis_name is not None:
         logits = lax.all_gather(logits, axis_name, axis=-1, tiled=True)
         if out_vocab is not None:

@@ -345,6 +345,160 @@ def q8_q8_matmul_tiled(x_q: jnp.ndarray, x_s: jnp.ndarray,
     return out.reshape(*lead, d)
 
 
+def _kernel_fused(*refs, group_size: int, prologue: str, exact: bool):
+    """Tiled Q8_0 matmul with the reference's per-matmul PROLOGUE fused in
+    (src/forward.c:254-262 runs rmsnorm -> quantize -> matvec as separate
+    passes; src/forward.c:122-139 swiglu -> quantize -> matvec):
+
+      prologue="norm":   h = nw * (x * inv)        (rmsnorm; inv = rsqrt of
+                                                    the row mean-square,
+                                                    precomputed per row)
+      prologue="swiglu": h = silu(gate) * up       (the two halves of the
+                                                    fused w13 output, read as
+                                                    two tiles of one buffer)
+      prologue="none":   h = x                     (plain cast/quantize)
+
+    then exact=True quantizes h per group in-VMEM (absmax/127, 1e-6 guard,
+    round half away — ops/q8.py semantics) and runs exact int8 MXU dots;
+    exact=False casts h to bf16 against VMEM-dequantized bf16 weights
+    (the pallas-fast serving path).
+
+    The activation row never round-trips through HBM between norm/swiglu,
+    quantize and matmul — the XLA-fusion-boundary overhead VERDICT r1 #4
+    measured as ~half the B=64 step. Prologue work is O(b*tk) VPU per grid
+    step (recomputed per output tile j; trivial next to the MXU work)."""
+    if prologue == "norm":
+        x_ref, inv_ref, nw_ref, wq_ref, ws_ref, out_ref = refs
+    elif prologue == "swiglu":
+        g_ref, u_ref, wq_ref, ws_ref, out_ref = refs
+    else:
+        x_ref, wq_ref, ws_ref, out_ref = refs
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g
+
+    if prologue == "norm":
+        # same op order as ops.norms.rmsnorm: w * (x * rsqrt(ms + eps))
+        h = nw_ref[0, :][None, :] * (
+            x_ref[:].astype(jnp.float32) * inv_ref[:])
+    elif prologue == "swiglu":
+        gt = g_ref[:].astype(jnp.float32)
+        h = gt * jax.nn.sigmoid(gt) * u_ref[:].astype(jnp.float32)
+    else:
+        h = x_ref[:].astype(jnp.float32)
+
+    if exact:
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        for i in range(gpt):
+            hg = h[:, i * g:(i + 1) * g]
+            wmax = jnp.max(jnp.abs(hg), axis=1, keepdims=True)   # [b, 1]
+            s = jnp.where(wmax == 0.0, jnp.float32(1e-6), wmax / 127.0)
+            r = hg / s
+            q = jnp.clip(jnp.sign(r) * jnp.floor(jnp.abs(r) + 0.5),
+                         -127.0, 127.0).astype(jnp.int8)
+            dot = jnp.dot(q, wq_ref[0, i * g:(i + 1) * g, :],
+                          preferred_element_type=jnp.int32)      # exact int32
+            acc = acc + dot.astype(jnp.float32) * (
+                s * ws_ref[0, i, :][None, :])
+        out_ref[:] += acc
+    else:
+        w = wq_ref[0].astype(jnp.float32).reshape(gpt, g, td)
+        w = (w * ws_ref[0][:, None, :]).reshape(tk, td).astype(jnp.bfloat16)
+        out_ref[:] += jnp.dot(h.astype(jnp.bfloat16), w,
+                              preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "prologue", "exact", "block_k",
+                     "interpret"),
+)
+def q8_matmul_fused(x: jnp.ndarray, w_qt: jnp.ndarray, w_st: jnp.ndarray,
+                    group_size: int, inv: jnp.ndarray | None = None,
+                    nw: jnp.ndarray | None = None, *,
+                    prologue: str = "none", exact: bool = False,
+                    block_k: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Prologue-fused tiled Q8_0 matmul (see _kernel_fused).
+
+    x: float [..., n] raw activations — or, with prologue="swiglu", the
+    fused w13 output [..., 2n] whose gate/up halves are read as two tiles of
+    the same buffer (no host-visible split copy).
+    inv: f32 [...] per-row rsqrt(mean(x^2)+eps) (prologue="norm").
+    nw:  f32 [n] norm weights (prologue="norm").
+    w_qt: int8 [J, n, td]; w_st: f32 [J, n/G, td] -> out f32 [..., J*td].
+    """
+    *lead, last = x.shape
+    n = last // 2 if prologue == "swiglu" else last
+    j, _, td = w_qt.shape
+    d = j * td
+    xb = x.reshape(-1, last)
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    assert n % tk == 0, (n, tk)
+    nk = n // tk
+    gpt = tk // group_size
+
+    wspec = [
+        pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gpt, td), lambda j, k: (j, k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if prologue == "norm":
+        in_specs = [
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ] + wspec
+        args = [xb, inv.reshape(-1, 1).astype(jnp.float32),
+                nw.reshape(1, n).astype(jnp.float32), w_qt, w_st]
+    elif prologue == "swiglu":
+        in_specs = [
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tk), lambda j, k: (0, nk + k),
+                         memory_space=pltpu.VMEM),
+        ] + wspec
+        args = [xb, xb, w_qt, w_st]
+    else:
+        in_specs = [
+            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ] + wspec
+        args = [xb, w_qt, w_st]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_fused, group_size=group_size,
+                          prologue=prologue, exact=exact),
+        grid=(j, nk),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d
+            + 4 * b * n + 4 * b * d,
+            transcendentals=b * n if prologue == "swiglu" else 0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, d)
+
+
 def _pick_tile(n: int, quantum: int, cap: int) -> int:
     """Largest multiple of `quantum` dividing n, <= cap; falls back to the
     whole axis when no such divisor exists (Mosaic pads sub-tile blocks).
