@@ -160,16 +160,26 @@ def measure_decode(cfg, params) -> float:
     _ = np.asarray(packed)
     log(f"decode warm {time.time()-t0:.1f}s")
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if os.environ.get("BENCH_PROFILE"):
+        from qwen3_tpu.utils.profiling import profile_trace
+
+        log(f"capturing device trace to {os.environ['BENCH_PROFILE']}")
+        prof = profile_trace(os.environ["BENCH_PROFILE"])
+
     emitted = 0
     t0 = time.perf_counter()
-    while emitted < N_DECODE:
-        packed, k, v, tok, pos, hi, lo = compiled(params, k, v, tok, pos,
-                                                  limit, hi, lo)
-        arr = np.asarray(packed)  # the one host sync per chunk
-        n, done = int(arr[-2]), bool(arr[-1])
-        emitted += n
-        if done or n == 0:
-            break
+    with prof:
+        while emitted < N_DECODE:
+            packed, k, v, tok, pos, hi, lo = compiled(params, k, v, tok, pos,
+                                                      limit, hi, lo)
+            arr = np.asarray(packed)  # the one host sync per chunk
+            n, done = int(arr[-2]), bool(arr[-1])
+            emitted += n
+            if done or n == 0:
+                break
     dt = time.perf_counter() - t0
     tok_s = emitted / dt
     log(f"decode: {tok_s:.2f} tok/s ({dt*1e3/max(emitted,1):.2f} ms/tok, "

@@ -14,6 +14,12 @@ Usage:  python -m qwen3_tpu.cli <checkpoint.bin> [options]
   --kv-dtype   float32|bfloat16 KV cache dtype
   --max-tokens cap on generated tokens (completion mode)
   --tp <int>   tensor-parallel shards over jax.devices() (pallas modes)
+  --profile <dir>      capture a device trace (TensorBoard/Perfetto) around
+                       the generation
+  --coordinator <a:p> / --num-processes / --process-id
+               multi-host: every host runs the same command; processes join
+               via jax.distributed (parallel/multihost.py). Only process 0
+               streams text.
 
 Conventions follow the reference: generated text streams to stdout; all
 diagnostics go to stderr with [Component] prefixes.
@@ -112,13 +118,42 @@ def main(argv=None) -> int:
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel shards; builds a (1, tp) mesh over "
                          "the first tp jax.devices() (pallas modes)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a JAX device trace of the generation into "
+                         "DIR (open in TensorBoard/Perfetto)")
+    ap.add_argument("--coordinator", default=None, metavar="ADDR:PORT",
+                    help="multi-host: jax.distributed coordinator address")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
+    if (args.coordinator is not None or args.num_processes is not None
+            or args.process_id is not None):
+        from qwen3_tpu.parallel import multihost
+
+        multihost.initialize(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
+        if not multihost.is_primary():
+            # every host runs the same program; one owns the terminal
+            global _stdout_bytes
+            _stdout_bytes = lambda piece: None
+
     eng = build_engine(args)
-    if args.m == "completion":
-        run_completion(eng, args)
-    else:
-        run_chat(eng, args)
+
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        from qwen3_tpu.utils.profiling import profile_trace
+
+        print(f"[Profile] tracing to {args.profile}", file=sys.stderr)
+        ctx = profile_trace(args.profile)
+    with ctx:
+        if args.m == "completion":
+            run_completion(eng, args)
+        else:
+            run_chat(eng, args)
     return 0
 
 

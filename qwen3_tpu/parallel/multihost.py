@@ -8,9 +8,10 @@ intra-slice collectives over ICI and inter-host traffic over DCN. Keep "tp"
 within a host/slice (n_kv_heads <= 8 bounds useful tp anyway) and let "dp"
 span hosts so only data-parallel traffic crosses DCN.
 
-This module cannot be exercised in a single-host environment; the sharding
-itself is validated on a virtual 8-device mesh (tests/test_sharding.py) and
-via the driver's dryrun_multichip entry point.
+Exercised for real (two OS processes, the actual jax.distributed
+coordination service + gloo CPU collectives standing in for DCN) by
+tests/test_multihost.py; the CLI exposes it via --coordinator /
+--num-processes / --process-id (every host runs the same command).
 """
 
 from __future__ import annotations
@@ -24,7 +25,17 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize jax.distributed. With TPU metadata available (GCE/GKE),
-    all arguments are auto-discovered and may be None."""
+    all arguments are auto-discovered and may be None.
+
+    On the CPU backend (tests / local rehearsal) cross-process collectives
+    need the gloo transport — the TPU backend ignores the setting. Checked
+    WITHOUT touching jax.default_backend(): initializing the backend before
+    jax.distributed breaks multi-process TPU discovery."""
+    import os
+
+    if (jax.config.jax_platforms or
+            os.environ.get("JAX_PLATFORMS", "")) == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -43,4 +54,6 @@ def global_mesh(tp: int | None = None):
 
 
 def is_primary() -> bool:
+    """True on the process that should own stdout/stderr streaming (every
+    host runs the same program; only one should print)."""
     return jax.process_index() == 0

@@ -80,3 +80,16 @@ def test_eval_cli(ckpt, capsys, monkeypatch):
                         _io.StringIO("the thinker thought a thought"))
     assert main([ckpt, "--qmode", "bf16"]) == 0
     assert '"ppl"' in capsys.readouterr().out
+
+
+def test_profile_flag_captures_trace(ckpt, tmp_path, capsys):
+    """--profile captures a real device trace (utils/profiling.py) around
+    the generation."""
+    trace_dir = str(tmp_path / "trace")
+    rc = main([ckpt, "-m", "completion", "-i", "the cat", "-t", "0",
+               "-s", "7", "-c", "64", "--max-tokens", "4",
+               "--profile", trace_dir])
+    assert rc == 0
+    import pathlib
+    files = list(pathlib.Path(trace_dir).rglob("*"))
+    assert any(f.is_file() for f in files), files
