@@ -113,7 +113,8 @@ def get_params():
     from qwen3_tpu.io.device_synth import synth_device_params
 
     log("generating packed params on device...")
-    return cfg, synth_device_params(cfg, CTX, seed=0)
+    return cfg, synth_device_params(cfg, CTX, seed=0,
+                                    exec_cache=str(CACHE / "exec"))
 
 
 def special_ids(vocab_size: int) -> tuple[int, int]:
@@ -124,6 +125,14 @@ def special_ids(vocab_size: int) -> tuple[int, int]:
         return tok.special.bos, tok.special.eos
     except Exception:
         return vocab_size - 10, vocab_size - 9
+
+
+def aot_cached(lowered, name: str):
+    """Cross-process executable cache under .cache/exec/ (the round-1 bench
+    died compiling inside the driver's timeout; see utils/aotcache.py)."""
+    from qwen3_tpu.utils.aotcache import aot_cached as _impl
+
+    return _impl(lowered, CACHE / "exec", name, log)
 
 
 def measure_decode(cfg, params) -> float:
@@ -152,8 +161,8 @@ def measure_decode(cfg, params) -> float:
                                  **kwargs)
     log(f"decode lower {time.time()-t0:.1f}s")
     t0 = time.time()
-    compiled = lowered.compile()
-    log(f"decode compile {time.time()-t0:.1f}s")
+    compiled = aot_cached(lowered, "decode")
+    log(f"decode compile/load {time.time()-t0:.1f}s")
     t0 = time.time()
     packed, k, v, tok, pos, hi, lo = compiled(params, k, v, tok, pos,
                                               limit, hi, lo)

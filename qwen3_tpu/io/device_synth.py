@@ -64,10 +64,13 @@ def packed_shapes(cfg: ModelConfig) -> dict[str, tuple[tuple[int, ...], str]]:
 
 
 def synth_device_params(cfg: ModelConfig, max_seq_len: int, *, seed: int = 0,
-                        scale: float = 0.02) -> dict:
+                        scale: float = 0.02,
+                        exec_cache: str | None = None) -> dict:
     """Generate the pallas-mode params pytree on device, one jitted program
     for all leaves. Magnitudes match io.synthetic.synthetic_weights (norms
-    ~1, projection scales ~scale/127) so decode stays numerically tame."""
+    ~1, projection scales ~scale/127) so decode stays numerically tame.
+    `exec_cache`: directory for the cross-process compiled-executable cache
+    (utils/aotcache.py) — bench cold-start path."""
     shapes = packed_shapes(cfg)
 
     @jax.jit
@@ -86,7 +89,14 @@ def synth_device_params(cfg: ModelConfig, max_seq_len: int, *, seed: int = 0,
             leaves[name] = v
         return leaves
 
-    p = dict(gen(jax.random.PRNGKey(seed)))
+    key0 = jax.random.PRNGKey(seed)
+    if exec_cache is not None:
+        from qwen3_tpu.utils.aotcache import aot_cached
+
+        fn = aot_cached(gen.lower(key0), exec_cache, "synth")
+    else:
+        fn = gen
+    p = dict(fn(key0))
     cos, sin = rope_tables(cfg.head_dim, max_seq_len)
     p["rope_cos"] = jnp.asarray(cos)
     p["rope_sin"] = jnp.asarray(sin)
