@@ -19,6 +19,8 @@ def main(argv=None) -> int:
                     help="file with evaluation text ('-' = stdin)")
     ap.add_argument("--qmode", default="pallas",
                     choices=["exact", "bf16", "pallas", "pallas-fast"])
+    ap.add_argument("--kv-dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"])
     ap.add_argument("-c", "--ctx", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -41,10 +43,14 @@ def main(argv=None) -> int:
     ids = ids[: cfg.seq_len]
     import numpy as np
 
+    import jax.numpy as jnp
+
+    kvd = jnp.dtype(args.kv_dtype)
     _, params = load_params(args.checkpoint, mode=args.qmode,
                             max_seq_len=cfg.seq_len)
-    nll = float(np.mean(sequence_nll(params, cfg, ids, mode=args.qmode)))
-    ppl = perplexity(params, cfg, ids, mode=args.qmode)
+    nll = float(np.mean(sequence_nll(params, cfg, ids, mode=args.qmode,
+                                     kv_dtype=kvd)))
+    ppl = perplexity(params, cfg, ids, mode=args.qmode, kv_dtype=kvd)
     print(f"[eval] tokens={len(ids)} nll/token={nll:.4f} ppl={ppl:.4f}",
           file=sys.stderr)
     print(f'{{"tokens": {len(ids)}, "nll": {nll:.6f}, "ppl": {ppl:.6f}}}')

@@ -93,3 +93,20 @@ def test_profile_flag_captures_trace(ckpt, tmp_path, capsys):
     import pathlib
     files = list(pathlib.Path(trace_dir).rglob("*"))
     assert any(f.is_file() for f in files), files
+
+
+def test_quality_table_tool(ckpt, capsys):
+    """Delta-ppl table across quant paths on the tiny model (the BASELINE.md
+    <=0.05 criterion tool; run at 0.6B+ scale on real hardware)."""
+    import json as _json
+    from qwen3_tpu.tools.quality_table import main as qmain
+    rc = qmain([ckpt, "-c", "64", "--chunk", "32",
+                "--modes", "exact,pallas,bf16"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    row = _json.loads(out)
+    assert row["metric"] == "delta_ppl"
+    assert set(row["rows"]) == {"exact", "pallas", "bf16", "pallas+int8kv"}
+    assert row["rows"]["exact"]["delta"] == 0.0
+    # pallas IS the exact integer math — delta stays epsilon-tiny
+    assert abs(row["rows"]["pallas"]["delta"]) < 1e-3
+    assert rc in (0, 1)
