@@ -263,6 +263,70 @@ def measure_batched(cfg, params) -> float | None:
     return tok_s
 
 
+def measure_long_context(cfg, params) -> dict | None:
+    """Decode tok/s at deep context positions with the int8 KV cache
+    (BASELINE config #3: the long-context capacity win). The cache is filled
+    with device-generated values — attention timing reads ~pos rows
+    regardless of their content — and decode runs a chunk at each depth.
+
+    BENCH_LONGCTX: comma-separated positions (default '8192,16384,32768',
+    clamped to CTX-chunk). Emits {pos: tok_s}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tpu.models import init_kv_cache
+    from qwen3_tpu.runtime.decode_loop import decode_chunk
+    from qwen3_tpu.runtime.xorshift import seed_to_device
+
+    depths = [int(x) for x in os.environ.get(
+        "BENCH_LONGCTX", "8192,16384,32768").split(",")]
+    # 1 warm + 2 measured chunks must fit below the CTX limit
+    depths = sorted({min(d, CTX - 3 * DECODE_CHUNK - 1) for d in depths})
+    bos, eos = special_ids(cfg.vocab_size)
+    kwargs = dict(cfg=cfg, mode=QMODE, chunk=DECODE_CHUNK, temperature=0.0,
+                  top_p=0.9, greedy=True, bos=bos, eos=eos,
+                  emit_at_limit=False, top_k=64,
+                  attn=os.environ.get("BENCH_ATTN", "dense"))
+    kv_dtype = jnp.dtype(os.environ.get("BENCH_LONGCTX_KV", "int8"))
+    k, v = init_kv_cache(cfg, 1, CTX, kv_dtype)
+    # fill cache values on device (cheap; int8 caches carry unit scales
+    # from init — fine, timing is value-independent)
+    fill = jax.jit(lambda a: jax.tree.map(
+        lambda x: (jnp.ones_like(x) if x.dtype == jnp.int8 else
+                   jnp.full_like(x, 0.01)), a))
+    k, v = fill(k), fill(v)
+
+    hi, lo = seed_to_device(3)
+    tok = jnp.asarray([7], jnp.int32)
+    log(f"long-context: compiling (kv={kv_dtype}, attn={kwargs['attn']})...")
+    lowered = decode_chunk.lower(params, k, v, tok, jnp.int32(0),
+                                 jnp.int32(CTX), hi, lo, **kwargs)
+    compiled = aot_cached(lowered, f"longctx_{kv_dtype}_{kwargs['attn']}")
+    out = {}
+    for pos in depths:
+        if remaining() < 30:
+            log(f"long-context: budget exhausted at pos {pos}")
+            break
+        p = jnp.int32(pos)
+        # warm chunk then measured chunks
+        packed, k, v, tok, p, hi, lo = compiled(params, k, v, tok, p,
+                                                jnp.int32(CTX), hi, lo)
+        _ = np.asarray(packed)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(2):
+            packed, k, v, tok, p, hi, lo = compiled(params, k, v, tok, p,
+                                                    jnp.int32(CTX), hi, lo)
+            arr = np.asarray(packed)
+            n += int(arr[-2])
+        dt = time.perf_counter() - t0
+        if n:
+            out[str(pos)] = round(n / dt, 2)
+            log(f"long-context decode @pos {pos}: {n / dt:.2f} tok/s")
+    return out or None
+
+
 def build_reference() -> Path | None:
     ref_src = Path("/root/reference")
     if not ref_src.exists() or shutil.which("cmake") is None:
@@ -373,6 +437,16 @@ def main() -> None:
                                                     1)
             except Exception as e:
                 log(f"batched bench failed: {e}")
+        if os.environ.get("BENCH_LONGCTX") and remaining() > 60:
+            # opt-in: needs BENCH_CTX >= the requested depths (e.g.
+            # BENCH_CTX=32768 BENCH_LONGCTX=8192,16384,32512 on the 8B
+            # int8-KV config — BASELINE #3)
+            try:
+                lc = measure_long_context(cfg, params)
+                if lc:
+                    result["longctx_tok_s"] = lc
+            except Exception as e:
+                log(f"long-context bench failed: {e}")
         try:
             baseline = measure_baseline()
         except Exception as e:  # baseline failure must not sink the bench
