@@ -147,6 +147,11 @@ def test_fused_forward_matches_unfused(monkeypatch, mode):
     toks = (jnp.arange(2 * 8, dtype=jnp.int32) % 101).reshape(2, 8)
 
     def run():
+        # the env flag is read at trace time: bust jit caches so the second
+        # run actually re-traces with the flipped flag
+        import jax
+
+        jax.clear_caches()
         k, v = init_kv_cache(cfg, 2, 64)
         lg, k, v = forward(params, cfg, toks, k, v, jnp.int32(0), mode=mode,
                            last_pos=jnp.int32(7))

@@ -262,3 +262,28 @@ def test_batched_engine_on_mesh_matches_single(tmp_path, weights):
         return [r.prompt_ids + r.out_ids for r in reqs]
 
     assert run(tp=2, dp=2) == run()
+
+
+def test_tp_forward_fused_prologue(monkeypatch, weights, single):
+    """QWEN3_TPU_FUSE=1 under shard_map TP: per-shard fused prologues (Q8
+    group boundaries align with shard boundaries by check_tp) must match the
+    single-device unfused forward."""
+    monkeypatch.setenv("QWEN3_TPU_FUSE", "1")
+    dp, tp = 1, 2
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, T = 2, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 101).reshape(B, T)
+
+    k1, v1 = init_kv_cache(CFG, B, SEQ)
+    monkeypatch.delenv("QWEN3_TPU_FUSE")
+    lg1, *_ = forward(single, CFG, toks, k1, v1, jnp.int32(0),
+                      mode="pallas", last_pos=jnp.int32(T - 1))
+    monkeypatch.setenv("QWEN3_TPU_FUSE", "1")
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim,
+                          SEQ)
+    kv = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    fwd = make_tp_forward(mesh, CFG, params, kv, mode="pallas")
+    lg2, *_ = fwd(params, toks, kv[0], kv[1], jnp.int32(0), jnp.int32(T - 1))
+    np.testing.assert_allclose(_gather(lg1), _gather(lg2),
+                               rtol=2e-4, atol=2e-4)
