@@ -398,12 +398,38 @@ def measure_baseline() -> float | None:
     return tok_s
 
 
+def probe_backend(timeout_s: float = 120.0) -> str | None:
+    """Check the TPU backend comes up at all, in a SUBPROCESS with a hard
+    timeout: when the tunnel is down, jax device init hangs forever and the
+    bench would time out having printed nothing. Returns an error string
+    (None = healthy). Skipped under BENCH_CPU=1."""
+    if os.environ.get("BENCH_CPU") == "1":
+        return None
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        return f"backend init timed out after {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0:
+        return f"backend init failed: {r.stderr[-200:]}"
+    log(f"backend probe ok: {r.stdout.strip()}")
+    return None
+
+
 def main() -> None:
     result: dict = {"metric": "decode_tok_s_per_chip", "value": None,
                     "unit": "tok/s", "vs_baseline": None, "preset": PRESET,
                     "ctx": CTX, "qmode": QMODE,
                     "params": ("ckpt" if os.environ.get("BENCH_FROM_CKPT")
                                == "1" else "device-synth")}
+    err = probe_backend()
+    if err is not None:
+        # emit a parseable artifact even when the device is unreachable
+        log(f"backend unavailable: {err}")
+        result["error"] = err
+        print(json.dumps(result))
+        return
     try:
         cfg, params = get_params()
         result["value"] = round(measure_decode(cfg, params), 2)
