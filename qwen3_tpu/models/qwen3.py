@@ -567,6 +567,11 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if not all_logits:
         if last_pos is None:
             x = x[:, -1:, :]
+        elif getattr(last_pos, "ndim", 0) == 1:
+            # per-row last valid position (batched multi-request prefill —
+            # prompts padded to a shared chunk have different lengths)
+            x = jnp.take_along_axis(
+                x, last_pos[:, None, None].astype(jnp.int32), axis=1)
         else:
             x = lax.dynamic_slice_in_dim(x, last_pos, 1, axis=1)
     if fused is not None:

@@ -234,6 +234,48 @@ prefill_slot_chunk = functools.partial(
 )(prefill_slot_chunk_impl)
 
 
+def prefill_slots_chunk_impl(params, k_cache, v_cache, tokens, slots,
+                             start_pos, last_pos, *, cfg, mode: str):
+    """One prompt chunk for N requests AT ONCE: gather the N slots' KV rows,
+    run one [N, C] forward (the same program shape family as the serial
+    path — per-row math is batch-size-independent bitwise, so each stream
+    equals its serial admission), scatter the rows back.
+
+    tokens: [N, C] i32 padded blocks; slots: [N] i32; start_pos: i32 scalar
+    (batched admission serves fresh start_pos=0 requests — chat
+    continuations go through the serial path); last_pos: [N] i32 per-row
+    last valid index within the chunk. Returns (logits [N, V], k, v)."""
+    from qwen3_tpu.models.qwen3 import forward_impl
+
+    take = lambda a: jnp.take(a, slots, axis=1)
+    put = lambda full, part: full.at[:, slots].set(part.astype(full.dtype))
+    kv_rows = jax.tree.map(take, k_cache)
+    vv_rows = jax.tree.map(take, v_cache)
+    logits, kr, vr = forward_impl(params, cfg, tokens, kv_rows, vv_rows,
+                                  start_pos, mode=mode, last_pos=last_pos)
+    k_cache = jax.tree.map(put, k_cache, kr)
+    v_cache = jax.tree.map(put, v_cache, vr)
+    return logits[:, 0], k_cache, v_cache
+
+
+prefill_slots_chunk = functools.partial(
+    jax.jit, static_argnames=("cfg", "mode"),
+    donate_argnames=("k_cache", "v_cache"),
+)(prefill_slots_chunk_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def first_tokens_batch(logits, rng_hi, rng_lo, temp, topp, *, top_k: int):
+    """First sampled token for N freshly-prefilled requests (the batched
+    counterpart of decode_loop.burn_and_sample at n_burn=0; per-row math is
+    identical, so streams equal serial admission). All args [N]-rowed."""
+    hi, lo, coin = xorshift_coin_device(rng_hi, rng_lo)
+    g = temp <= _GREEDY_EPS                       # per-row greedy
+    tok = sample_tokens(logits, coin, temp, topp, greedy=g,
+                        top_k_hint=top_k)
+    return tok, hi, lo
+
+
 @dataclasses.dataclass
 class Request:
     prompt: str | bytes
@@ -371,6 +413,7 @@ class BatchedEngine:
             if self._slots[req.slot].req is None:
                 self._queue.remove(req)
                 self._admit_into(req.slot, req)
+        assigned: list[tuple[int, Request]] = []
         for b, slot in enumerate(self._slots):
             if slot.req is not None or b in self._pinned:
                 continue
@@ -378,7 +421,85 @@ class BatchedEngine:
             if req is None:
                 break
             self._queue.remove(req)
-            self._admit_into(b, req)
+            assigned.append((b, req))
+
+        # batched admission: prefill same-chunk-count fresh prompts in ONE
+        # [N, C] forward per chunk instead of N serial dispatches. Streams
+        # stay bit-equal to serial admission (per-row math is batch-size-
+        # independent); chat continuations (start_pos/rng/burn) and prompts
+        # whose padded chunks would cross seq_len take the serial path, as
+        # does the mesh engine (no TP wrapper for the gathered-slots program
+        # yet). One compile per distinct group size N <= max_batch.
+        C = self.prefill_bucket
+        groups: dict[int, list[tuple[int, Request, list]]] = {}
+        for b, req in assigned:
+            ids = self.tokenizer.encode(req.prompt)[: self.cfg.seq_len]
+            n_chunks = -(-len(ids) // C) if ids else 0
+            if (self._mesh is None and not req.burn_prompt
+                    and req.rng is None and req.start_pos == 0 and ids
+                    and n_chunks * C <= self.cfg.seq_len):
+                groups.setdefault(n_chunks, []).append((b, req, ids))
+            else:
+                self._admit_into(b, req)
+        for n_chunks, items in groups.items():
+            if len(items) == 1:
+                self._admit_into(items[0][0], items[0][1])
+            else:
+                self._admit_batch(items, n_chunks)
+
+    def _admit_batch(self, items: list, n_chunks: int) -> None:
+        t0 = time.perf_counter()
+        C = self.prefill_bucket
+        temps, topps = [], []
+        for b, req, ids in items:
+            r_temp = (self.temperature if req.temperature is None
+                      else clamp_temperature(req.temperature))
+            r_topp = (self.top_p if req.top_p is None
+                      else clamp_top_p(req.top_p))
+            self._temp_host[b] = r_temp
+            self._topp_host[b] = r_topp
+            self._emit_host[b] = req.emit_at_limit
+            req.prompt_ids = ids
+            temps.append(r_temp)
+            topps.append(r_topp)
+        slots = jnp.asarray([b for b, _, _ in items], jnp.int32)
+        temps = jnp.asarray(temps, jnp.float32)
+        topps = jnp.asarray(topps, jnp.float32)
+
+        k, v = self._kv
+        logits = None
+        for c in range(n_chunks):
+            blocks, lasts = [], []
+            for _, _, ids in items:
+                blk = ids[c * C:(c + 1) * C]
+                lasts.append(len(blk) - 1)
+                blocks.append(blk + [0] * (C - len(blk)))
+            logits, k, v = prefill_slots_chunk(
+                self.params, k, v, jnp.asarray(blocks, jnp.int32), slots,
+                jnp.int32(c * C), jnp.asarray(lasts, jnp.int32),
+                cfg=self.cfg, mode=self.mode)
+        self._kv = (k, v)
+
+        seeds = [seed_to_device(req.seed) for _, req, _ in items]
+        hi0 = jnp.stack([s[0] for s in seeds])
+        lo0 = jnp.stack([s[1] for s in seeds])
+        tok, hi, lo = first_tokens_batch(logits, hi0, lo0, temps, topps,
+                                         top_k=self.top_k)
+        now = time.perf_counter()
+        for i, (b, req, ids) in enumerate(items):
+            req.prompt_ms = (now - t0) * 1e3
+            req._t_admit = now
+            pos = len(ids)
+            self._token = self._token.at[b].set(tok[i])
+            self._pos = self._pos.at[b].set(pos)
+            limit = self.cfg.seq_len
+            if req.max_tokens is not None:
+                limit = min(limit, pos + req.max_tokens)
+            self._limit[b] = limit
+            self._done = self._done.at[b].set(False)
+            self._rng_hi = self._rng_hi.at[b].set(hi[i])
+            self._rng_lo = self._rng_lo.at[b].set(lo[i])
+            self._slots[b].req = req
 
     def _admit_into(self, b: int, req: Request) -> None:
         t0 = time.perf_counter()

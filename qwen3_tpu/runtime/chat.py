@@ -20,6 +20,8 @@ len(prompt)-1 coins around the batched prefill.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 import time
 from typing import Callable, Iterator, Optional
 
@@ -84,6 +86,12 @@ class ChatSession:
             rendered += render_system(eng, self.system_prompt)
         rendered += render_user(eng, user_text, eng.cfg.think)
 
+        if os.environ.get("QWEN3_TPU_DEBUG_CHAT") == "1":
+            # reference's DEBUG_CHAT rendered-buffer dump
+            # (src/completion.c:161-169)
+            print(f"[Chat] buffer ({len(rendered)})\n"
+                  f"{rendered.decode('utf-8', errors='replace')}",
+                  file=sys.stderr)
         t0 = time.perf_counter()
         ids = t.encode(rendered)
         ids = ids[: seq_len - self.pos]  # never run past the context

@@ -214,6 +214,41 @@ def test_flash_attn_serving_matches_dense(ckpt, kv_dtype, side):
     assert run("flash") == run("dense")
 
 
+def test_batched_admission_matches_serial(ckpt, monkeypatch):
+    """Same-chunk-count fresh prompts are prefilled in ONE [N, C] forward
+    per chunk (prefill_slots_chunk); streams must still be bit-equal to the
+    single-stream engine. Multi-chunk prompts included."""
+    import qwen3_tpu.runtime.batched as B
+
+    calls = {"batch": 0, "serial": 0}
+    orig_b, orig_s = B.prefill_slots_chunk, B.prefill_slot_chunk
+
+    def count_b(*a, **kw):
+        calls["batch"] += 1
+        return orig_b(*a, **kw)
+
+    def count_s(*a, **kw):
+        calls["serial"] += 1
+        return orig_s(*a, **kw)
+
+    monkeypatch.setattr(B, "prefill_slots_chunk", count_b)
+    monkeypatch.setattr(B, "prefill_slot_chunk", count_s)
+
+    # long prompts -> 2 chunks at bucket 16; same chunk count groups them
+    prompts = [" ".join(["the cat in a hat er on at"] * 3) + f" {i}"
+               for i in range(3)]
+    eng = B.BatchedEngine(ckpt, max_batch=3, seq_len=96, mode="exact",
+                          temperature=0.9, top_p=0.9, prefill_bucket=16,
+                          decode_chunk=8)
+    reqs = [eng.submit(B.Request(prompt=p, seed=40 + i, max_tokens=10))
+            for i, p in enumerate(prompts)]
+    eng.run()
+    assert calls["batch"] >= 2 and calls["serial"] == 0, calls
+    for i, req in enumerate(reqs):
+        want = single_stream(ckpt, prompts[i], 40 + i, 0.9, 10)
+        assert req.prompt_ids + req.out_ids == want, f"req {i}"
+
+
 def test_more_requests_than_slots_all_finish(ckpt):
     eng = BatchedEngine(ckpt, max_batch=2, seq_len=96, mode="exact",
                         temperature=0.0, prefill_bucket=16, decode_chunk=8)
