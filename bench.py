@@ -209,18 +209,21 @@ def measure_prefill(cfg, params) -> float:
     toks = jnp.full((1, chunk), 7, jnp.int32)
     n_chunks = min(CTX // chunk, 8)
 
-    log("compiling prefill...")
-    lg, k, v = forward(params, cfg, toks, k, v, jnp.int32(0), mode=QMODE,
-                       last_pos=jnp.int32(chunk - 1))
+    log(f"compiling prefill (chunk={chunk})...")
+    lowered = forward.lower(params, cfg, toks, k, v, jnp.int32(0),
+                            mode=QMODE, last_pos=jnp.int32(chunk - 1))
+    fwd = aot_cached(lowered, f"prefill{chunk}")
+    # call structure (incl. keyword-ness) must match the lower() call
+    lg, k, v = fwd(params, toks, k, v, jnp.int32(0),
+                   last_pos=jnp.int32(chunk - 1))
     _ = np.asarray(lg[0, 0, :8])
 
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
         for c in range(n_chunks):
-            lg, k, v = forward(params, cfg, toks, k, v,
-                               jnp.int32(c * chunk), mode=QMODE,
-                               last_pos=jnp.int32(chunk - 1))
+            lg, k, v = fwd(params, toks, k, v, jnp.int32(c * chunk),
+                           last_pos=jnp.int32(chunk - 1))
     _ = np.asarray(lg[0, 0, :8])
     tok_s = reps * n_chunks * chunk / (time.perf_counter() - t0)
     log(f"prefill: {tok_s:.1f} tok/s")
