@@ -131,9 +131,18 @@ def main(argv=None) -> int:
             or args.process_id is not None):
         from qwen3_tpu.parallel import multihost
 
+        if args.m == "chat":
+            # the chat REPL reads stdin, which only process 0 has; the other
+            # hosts would EOF out and strand process 0's collectives
+            print("[Chat] Error: the interactive REPL is single-host; "
+                  "use -m completion with --coordinator.", file=sys.stderr)
+            return 1
         multihost.initialize(coordinator_address=args.coordinator,
                              num_processes=args.num_processes,
                              process_id=args.process_id)
+        # the default seed is time(NULL) per process — agree on one so the
+        # replicated sampler state matches across hosts
+        args.s = multihost.agree_seed(args.s if args.s else int(time.time()))
         if not multihost.is_primary():
             # every host runs the same program; one owns the terminal
             global _stdout_bytes

@@ -218,9 +218,14 @@ def load_params(path: str, mode: str = "bf16",
             "parallel.sharding GSPMD specs instead)")
     if tp > 1 and mesh is None:
         raise ValueError("tp>1 needs a mesh to place the shards on")
+    # mesh + pallas always uses the TP-aware pack (leading [tp, ...] shard
+    # axis — at tp=1 a length-1 axis), because the shard_map serving
+    # programs (parallel/tp.py _unlead) expect that layout even for pure
+    # data-parallel meshes
+    tp_pack = mesh is not None and mode.startswith("pallas")
     # pallas-fast differs only in the kernel, not the packed tensors
     pack_mode = "pallas" if mode.startswith("pallas") else mode
-    if tp > 1:
+    if tp_pack:
         pack_mode = f"pallas-tp{tp}"
     st = os.stat(path)
     meta_want = {"pack_version": _PACK_VERSION, "mode": pack_mode,
@@ -249,7 +254,7 @@ def load_params(path: str, mode: str = "bf16",
                 host[key] = a
             return cfg, place(host)
 
-    if tp > 1:
+    if tp_pack:
         from qwen3_tpu.parallel.tp import tp_host_params
 
         host = tp_host_params(load_checkpoint(path), tp)

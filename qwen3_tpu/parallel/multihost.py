@@ -57,3 +57,15 @@ def is_primary() -> bool:
     """True on the process that should own stdout/stderr streaming (every
     host runs the same program; only one should print)."""
     return jax.process_index() == 0
+
+
+def agree_seed(seed: int) -> int:
+    """Process 0's value, broadcast to every process. The CLI's default seed
+    is time(NULL) like the reference (examples/qwen.c:104) — evaluated
+    per-process it diverges across hosts and desyncs the replicated RNG
+    state feeding the collectives."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(
+        np.asarray(seed, np.int64)))

@@ -229,6 +229,12 @@ def _unlead(params: dict) -> dict:
             for k, v in params.items()}
 
 
+def _pspecs(params_tree: dict) -> dict:
+    s = param_specs(params_tree)
+    s["rope_cos"] = s["rope_sin"] = P()
+    return s
+
+
 def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
                     kv_tree, *, mode: str = "pallas", attn: str = "dense"):
     """jitted tensor/data-parallel forward: (params, tokens, k, v, start_pos,
@@ -238,8 +244,7 @@ def make_tp_forward(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
 
     tp = mesh.shape["tp"]
     cfg_loc = local_config(cfg, tp)
-    pspecs = param_specs(params_tree)
-    pspecs["rope_cos"] = pspecs["rope_sin"] = P()
+    pspecs = _pspecs(params_tree)
     kspecs = kv_specs(kv_tree)
 
     def body(p, tokens, k, v, start_pos, last_pos):
@@ -266,8 +271,7 @@ def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
 
     tp = mesh.shape["tp"]
     cfg_loc = local_config(cfg, tp)
-    pspecs = param_specs(params_tree)
-    pspecs["rope_cos"] = pspecs["rope_sin"] = P()
+    pspecs = _pspecs(params_tree)
     kspecs = kv_specs(kv_tree)
 
     def body(p, tokens, k, v, positions):
@@ -282,12 +286,6 @@ def make_tp_decode_step(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
         out_specs=(P("dp"), kspecs[0], kspecs[1]),
         check_vma=False)
     return jax.jit(fn, donate_argnums=(2, 3))
-
-
-def _pspecs(params_tree: dict) -> dict:
-    s = param_specs(params_tree)
-    s["rope_cos"] = s["rope_sin"] = P()
-    return s
 
 
 def make_tp_decode_chunk(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
@@ -389,7 +387,14 @@ def make_tp_prefill_slot_chunk(mesh: Mesh, cfg: ModelConfig,
             axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size)
         k_cache = jax.tree.map(put, k_cache, kr)
         v_cache = jax.tree.map(put, v_cache, vr)
-        return logits[0, 0], k_cache, v_cache
+        out = logits[0, 0]
+        if dp > 1:
+            # only the slot OWNER computed against the slot's real earlier
+            # KV rows (continuation chunks, start_pos > 0, read rows the
+            # other dp shards don't hold) — replicate the owner's logits.
+            # `where` (not multiply) so a non-owner NaN can't poison the sum.
+            out = lax.psum(_jnp.where(in_range, out, 0.0), "dp")
+        return out, k_cache, v_cache
 
     fn = jax.shard_map(
         body, mesh=mesh,

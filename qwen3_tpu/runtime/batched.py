@@ -340,6 +340,11 @@ class BatchedEngine:
             if max_batch % dp:
                 raise ValueError(f"max_batch={max_batch} must divide over "
                                  f"dp={dp}")
+            if not mode.startswith("pallas"):
+                # the shard_map serving programs expect the TP-aware fused
+                # pack layout (parallel/tp.py); exact/bf16 shard via the
+                # GSPMD specs in parallel/sharding.py instead
+                raise ValueError("tp/dp>1 serving requires a pallas mode")
             self._mesh = make_mesh(dp=dp, tp=tp)
         if params is not None:
             assert model_cfg is not None, "params injection needs model_cfg"
@@ -401,6 +406,15 @@ class BatchedEngine:
         finished: list[Request] = []
         while self._queue or any(s.req for s in self._slots):
             self._admit()
+            if self._queue and not any(s.req for s in self._slots):
+                # nothing admitted and nothing live: every remaining request
+                # needs a slot that conversations hold pinned — spinning
+                # would livelock (pins only drop via BatchedChat.close)
+                raise RuntimeError(
+                    f"{len(self._queue)} queued request(s) cannot be "
+                    f"admitted: all free slots are pinned by conversations "
+                    f"({sorted(self._pinned)}); close a conversation or "
+                    f"raise max_batch")
             finished.extend(self._step())
         return finished
 

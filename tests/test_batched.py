@@ -249,6 +249,23 @@ def test_batched_admission_matches_serial(ckpt, monkeypatch):
         assert req.prompt_ids + req.out_ids == want, f"req {i}"
 
 
+def test_all_slots_pinned_raises_not_livelocks(ckpt):
+    """A completion request that can never be admitted (every slot pinned by
+    a conversation) must raise, not spin forever."""
+    from qwen3_tpu.runtime.batched_chat import BatchedChat
+
+    eng = BatchedEngine(ckpt, max_batch=1, seq_len=96, mode="exact",
+                        temperature=0.0, prefill_bucket=16, decode_chunk=8)
+    chat = BatchedChat(eng)
+    conv = chat.new_conversation(seed=1)
+    eng.submit(Request(prompt="the cat", seed=2, max_tokens=4))
+    with pytest.raises(RuntimeError, match="pinned"):
+        eng.run()
+    chat.close(conv)
+    [req] = eng.run()      # admissible after the pin drops
+    assert req.finished
+
+
 def test_more_requests_than_slots_all_finish(ckpt):
     eng = BatchedEngine(ckpt, max_batch=2, seq_len=96, mode="exact",
                         temperature=0.0, prefill_bucket=16, decode_chunk=8)

@@ -264,6 +264,110 @@ def test_batched_engine_on_mesh_matches_single(tmp_path, weights):
     assert run(tp=2, dp=2) == run()
 
 
+def test_batched_chat_on_mesh_matches_single(tmp_path, weights):
+    """Multi-turn conversations on a (dp=2, tp=2) mesh, including a slot
+    OWNED BY dp SHARD 1: continuation-chunk prefills (start_pos > 0) read
+    cache rows only the owner shard holds, so the TP prefill must replicate
+    the owner's logits (regression: out_specs P() used to surface shard 0's
+    garbage)."""
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    from qwen3_tpu.runtime.batched import BatchedEngine
+    from qwen3_tpu.runtime.batched_chat import BatchedChat
+
+    ckpt = str(tmp_path / "tiny.bin")
+    write_checkpoint(ckpt, weights)
+    write_tokenizer_bin(ckpt + ".tokenizer",
+                        synthetic_tokenizer(CFG.vocab_size))
+    # per-conversation texts: identical conversations would let a non-owner
+    # dp shard's clamped-slot forward coincidentally produce the right
+    # logits and mask the bug
+    turns = [["the cat", "a hat on"], ["on at the", "er at"],
+             ["in the er", "the the at"]]
+
+    def run(**mesh_kw):
+        eng = BatchedEngine(ckpt, max_batch=4, seq_len=SEQ, mode="pallas",
+                            temperature=0.0, prefill_bucket=8,
+                            decode_chunk=4, **mesh_kw)
+        chat = BatchedChat(eng)
+        # three conversations: slots 0..2 — slot 2 lives on dp shard 1
+        convs = [chat.new_conversation(seed=10 + i) for i in range(3)]
+        outs = []
+        for t in range(2):
+            reqs = [chat.submit_turn(c, turns[i][t])
+                    for i, c in enumerate(convs)]
+            eng.run()
+            for c, r in zip(convs, reqs):
+                chat.finish_turn(c, r)
+            outs.append([bytes(eng.tokenizer.decode(r.out_ids))
+                         for r in reqs])
+        return outs
+
+    assert run(tp=2, dp=2) == run()
+
+
+def test_tp_prefill_continuation_owner_logits(weights, single):
+    """Continuation-chunk prefill (start_pos > 0) into a slot owned by dp
+    shard 1: the returned logits must be the OWNER's (non-owners compute
+    against a different local slot's rows). Regression: out_specs P() used
+    to surface dp shard 0's garbage logits."""
+    from qwen3_tpu.parallel.tp import make_tp_prefill_slot_chunk
+    from qwen3_tpu.runtime.batched import prefill_slot_chunk
+
+    dp, tp = 2, 2
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+    B, C = 2 * dp, 8
+    slot = B - 1                      # owned by dp shard 1
+
+    def run_chunks(prefill, kv, params):
+        k, v = kv
+        lg = None
+        for c, toks in enumerate([jnp.arange(2, 2 + C, dtype=jnp.int32),
+                                  jnp.arange(40, 40 + C, dtype=jnp.int32)]):
+            lg, k, v = prefill(params, k, v, toks, jnp.int32(slot),
+                               jnp.int32(c * C), jnp.int32(C - 1))
+        return np.asarray(jax.device_get(lg))
+
+    kv1 = init_kv_cache(CFG, B, SEQ)
+    want = run_chunks(
+        lambda p, k, v, t, s, sp, lp: prefill_slot_chunk(
+            p, k, v, t, s, sp, lp, cfg=CFG, mode="pallas"),
+        kv1, single)
+
+    params = place_params(tp_host_params(weights, tp), mesh, CFG.head_dim,
+                          SEQ)
+    kv2 = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    pre = make_tp_prefill_slot_chunk(mesh, CFG, params, kv2, mode="pallas")
+    got = run_chunks(pre, kv2, params)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_batched_engine_dp_only_mesh(tmp_path, weights):
+    """Pure data-parallel serving (dp=2, tp=1) — regression: the tp=1 pack
+    had no leading shard axis and _unlead stripped the layer axis."""
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    from qwen3_tpu.runtime.batched import BatchedEngine, Request
+
+    ckpt = str(tmp_path / "tiny.bin")
+    write_checkpoint(ckpt, weights)
+    write_tokenizer_bin(ckpt + ".tokenizer",
+                        synthetic_tokenizer(CFG.vocab_size))
+
+    def run(**mesh_kw):
+        eng = BatchedEngine(ckpt, max_batch=2, seq_len=SEQ, mode="pallas",
+                            temperature=0.0, prefill_bucket=16,
+                            decode_chunk=4, **mesh_kw)
+        reqs = [eng.submit(Request(prompt=p, seed=i, max_tokens=8))
+                for i, p in enumerate(["the cat", "in a hat"])]
+        eng.run()
+        return [r.prompt_ids + r.out_ids for r in reqs]
+
+    assert run(dp=2, tp=1) == run()
+
+
 def test_tp_forward_fused_prologue(monkeypatch, weights, single):
     """QWEN3_TPU_FUSE=1 under shard_map TP: per-shard fused prologues (Q8
     group boundaries align with shard boundaries by check_tp) must match the
