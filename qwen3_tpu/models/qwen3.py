@@ -315,6 +315,14 @@ def _embed(p: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     return dequantize(q, s, cfg.group_size)
 
 
+def _flash_bs() -> int:
+    """S-tile size for the flash kernels (QWEN3_TPU_FLASH_BS env — an
+    on-chip tuning knob; larger tiles cut grid steps at long context)."""
+    import os as _os
+
+    return int(_os.environ.get("QWEN3_TPU_FLASH_BS", "256"))
+
+
 def _flash(q, k_vals, v_vals, positions, ks, vs):
     """Flash-decode attention (ops/pallas/flash_decode.py): same values as
     gqa_attention_per_slot up to online-softmax fp32 reduction order."""
@@ -323,6 +331,7 @@ def _flash(q, k_vals, v_vals, positions, ks, vs):
     from qwen3_tpu.ops.pallas.flash_decode import flash_decode_gqa
 
     return flash_decode_gqa(q, k_vals, v_vals, positions, ks, vs,
+                            block_s=_flash_bs(),
                             interpret=_jax.default_backend() == "cpu")
 
 
@@ -334,6 +343,7 @@ def _flash_prefill(q, k_vals, v_vals, positions, ks, vs):
     from qwen3_tpu.ops.pallas.flash_decode import flash_prefill_gqa
 
     return flash_prefill_gqa(q, k_vals, v_vals, positions, ks, vs,
+                             block_s=_flash_bs(),
                              interpret=_jax.default_backend() == "cpu")
 
 
@@ -347,7 +357,8 @@ def _flash_two_segment(q, k_main, v_main, k_side, v_side, base_pos, offsets,
 
     return flash_decode_gqa_two_segment(
         q, k_main, v_main, k_side, v_side, base_pos, offsets,
-        k_ms, v_ms, k_ss, v_ss, interpret=_jax.default_backend() == "cpu")
+        k_ms, v_ms, k_ss, v_ss, block_s=_flash_bs(),
+        interpret=_jax.default_backend() == "cpu")
 
 
 def _make_linear(mode: str, group_size: int):
