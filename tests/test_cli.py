@@ -110,3 +110,32 @@ def test_quality_table_tool(ckpt, capsys):
     # pallas IS the exact integer math — delta stays epsilon-tiny
     assert abs(row["rows"]["pallas"]["delta"]) < 1e-3
     assert rc in (0, 1)
+
+
+def test_serve_cli(ckpt, tmp_path, capsys):
+    """Batch-serving CLI: one JSON line per request, reproducible with -s."""
+    import json as _json
+    from qwen3_tpu.serve import main as smain
+
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("the cat\nin a hat\ner on at\n")
+    rc = smain([ckpt, "-t", "0.8", "-s", "5", "-c", "96", "--batch", "2",
+                "--max-tokens", "6", "--qmode", "exact",
+                "--prefill-bucket", "16", "--decode-chunk", "4",
+                "--prompts", str(pf)])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["id"] for r in rows) == [0, 1, 2]
+    assert all(0 < r["n_tokens"] <= 6 for r in rows)
+
+    rc = smain([ckpt, "-t", "0.8", "-s", "5", "-c", "96", "--batch", "3",
+                "--max-tokens", "6", "--qmode", "exact",
+                "--prefill-bucket", "16", "--decode-chunk", "4",
+                "--prompts", str(pf)])
+    assert rc == 0
+    rows2 = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    # same seeds -> same texts regardless of slot-pool size
+    by_id = lambda rs: {r["id"]: r["text"] for r in rs}
+    assert by_id(rows) == by_id(rows2)
