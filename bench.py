@@ -121,6 +121,10 @@ def special_ids(vocab_size: int) -> tuple[int, int]:
     try:
         from qwen3_tpu.tokenizer import Tokenizer
 
+        # materialize the synthetic tokenizer first: bos/eos are baked into
+        # the decode program as constants, so falling back to different ids
+        # on a fresh .cache would re-key the executable cache
+        ensure_tokenizer(vocab_size)
         tok = Tokenizer.from_file(str(CACHE / f"{PRESET}.bin"))
         return tok.special.bos, tok.special.eos
     except Exception:
@@ -148,7 +152,8 @@ def measure_decode(cfg, params) -> float:
     bos, eos = special_ids(cfg.vocab_size)
     kwargs = dict(cfg=cfg, mode=QMODE, chunk=DECODE_CHUNK, temperature=0.0,
                   top_p=0.9, greedy=True, bos=bos, eos=eos,
-                  emit_at_limit=False, top_k=64, attn="dense")
+                  emit_at_limit=False, top_k=64,
+                  attn=os.environ.get("BENCH_ATTN", "dense"))
     k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
     hi, lo = seed_to_device(3)
     tok = jnp.asarray([7], jnp.int32)

@@ -182,11 +182,28 @@ def repack_tiles(w_q, w_s, group_size: int, block_d: int = 1024):
     return tile(w_q), tile(w_s)
 
 
+def _pick_bt(b: int, cap: int = 512) -> int:
+    """Batch-axis tile: largest multiple of 128 dividing b, <= cap; falls
+    back to the whole batch when none exists. 128-alignment is required
+    because the transposed activation-scale layout [n/G, b] slices the batch
+    on the LANE axis (Mosaic: lane offsets must be 128-aligned), and keeps
+    the [bt, td] f32 output block at <= 2 MB — an untiled batch axis put a
+    16 MB output block in VMEM at serving batch 4096 and blew the scoped
+    limit."""
+    t = min(cap, b)
+    t -= t % 128
+    while t >= 128:
+        if b % t == 0:
+            return t
+        t -= 128
+    return b
+
+
 def _kernel_q8q8_tiled(xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
                        group_size: int):
     """Same math as _kernel_q8q8, reading the [J, n, td] tiled weight layout
     (block (1, tk, td) = one contiguous HBM chunk)."""
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -224,7 +241,7 @@ def _kernel_q8_tiled_fast(xf_ref, wq_ref, ws_ref, out_ref, *,
     (td) stays intact — lane-splitting reshapes are unsupported by Mosaic,
     which is why the activations arrive pre-scaled instead of as (q8,
     scales)."""
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -260,22 +277,23 @@ def q8_matmul_tiled_fast(x: jnp.ndarray, w_qt: jnp.ndarray,
 
     tk = _pick_tile(n, 8 * group_size, block_k)
     assert n % tk == 0, (n, tk)
+    bt = _pick_bt(b)
 
-    grid = (j, n // tk)
+    grid = (b // bt, j, n // tk)
     out = pl.pallas_call(
         functools.partial(_kernel_q8_tiled_fast, group_size=group_size),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         in_specs=[
-            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+            pl.BlockSpec((1, tk, td), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk // group_size, td), lambda j, k: (j, k, 0),
+            pl.BlockSpec((1, tk // group_size, td), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+        out_specs=pl.BlockSpec((bt, td), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -315,24 +333,25 @@ def q8_q8_matmul_tiled(x_q: jnp.ndarray, x_s: jnp.ndarray,
     tk = _pick_tile(n, 8 * group_size, block_k)
     assert n % tk == 0, (n, tk)
     gpt = tk // group_size
+    bt = _pick_bt(b)
 
-    grid = (j, n // tk)
+    grid = (b // bt, j, n // tk)
     out = pl.pallas_call(
         functools.partial(_kernel_q8q8_tiled, group_size=group_size),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         in_specs=[
-            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpt, b), lambda j, k: (k, 0),
+            pl.BlockSpec((gpt, bt), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+            pl.BlockSpec((1, tk, td), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk // group_size, td), lambda j, k: (j, k, 0),
+            pl.BlockSpec((1, tk // group_size, td), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+        out_specs=pl.BlockSpec((bt, td), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -373,7 +392,7 @@ def _kernel_fused(*refs, group_size: int, prologue: str, exact: bool):
         g_ref, u_ref, wq_ref, ws_ref, out_ref = refs
     else:
         x_ref, wq_ref, ws_ref, out_ref = refs
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -445,35 +464,36 @@ def q8_matmul_fused(x: jnp.ndarray, w_qt: jnp.ndarray, w_st: jnp.ndarray,
     assert n % tk == 0, (n, tk)
     nk = n // tk
     gpt = tk // group_size
+    bt = _pick_bt(b)
 
     wspec = [
-        pl.BlockSpec((1, tk, td), lambda j, k: (j, k, 0),
+        pl.BlockSpec((1, tk, td), lambda i, j, k: (j, k, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, gpt, td), lambda j, k: (j, k, 0),
+        pl.BlockSpec((1, gpt, td), lambda i, j, k: (j, k, 0),
                      memory_space=pltpu.VMEM),
     ]
     if prologue == "norm":
         in_specs = [
-            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda j, k: (0, 0),
+            pl.BlockSpec((bt, 1), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk), lambda j, k: (0, k),
+            pl.BlockSpec((1, tk), lambda i, j, k: (0, k),
                          memory_space=pltpu.VMEM),
         ] + wspec
         args = [xb, inv.reshape(-1, 1).astype(jnp.float32),
                 nw.reshape(1, n).astype(jnp.float32), w_qt, w_st]
     elif prologue == "swiglu":
         in_specs = [
-            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, tk), lambda j, k: (0, nk + k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, nk + k),
                          memory_space=pltpu.VMEM),
         ] + wspec
         args = [xb, xb, w_qt, w_st]
     else:
         in_specs = [
-            pl.BlockSpec((b, tk), lambda j, k: (0, k),
+            pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
         ] + wspec
         args = [xb, w_qt, w_st]
@@ -481,11 +501,11 @@ def q8_matmul_fused(x: jnp.ndarray, w_qt: jnp.ndarray, w_st: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_kernel_fused, group_size=group_size,
                           prologue=prologue, exact=exact),
-        grid=(j, nk),
+        grid=(b // bt, j, nk),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, td), lambda j, k: (0, j),
+        out_specs=pl.BlockSpec((bt, td), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -455,11 +456,22 @@ class BatchedEngine:
                 groups.setdefault(n_chunks, []).append((b, req, ids))
             else:
                 self._admit_into(b, req)
+        # cap rows (N x C) per admission program: the [N, C] forward's HBM
+        # temporaries scale with N*C (gathered per-slot KV row copies + fp32
+        # FFN activations), and an uncapped 64 x 64 admission pushed the 4B
+        # preset past the 16 GB chip at compile time. 1024 rows keeps the
+        # program's temp footprint under ~1 GB at 4B scale.
+        cap_n = max(2, int(os.environ.get("QWEN3_TPU_ADMIT_ROWS", "1024"))
+                    // max(C, 1))
         for n_chunks, items in groups.items():
-            if len(items) == 1:
+            while len(items) > 1:
+                part, items = items[:cap_n], items[cap_n:]
+                if len(part) == 1:
+                    self._admit_into(part[0][0], part[0][1])
+                else:
+                    self._admit_batch(part, n_chunks)
+            if items:
                 self._admit_into(items[0][0], items[0][1])
-            else:
-                self._admit_batch(items, n_chunks)
 
     def _admit_batch(self, items: list, n_chunks: int) -> None:
         t0 = time.perf_counter()

@@ -102,3 +102,58 @@ def test_q8q8_nondivisible_hidden_dim():
     got = np.asarray(q8_q8_matmul_pallas(xq, xs, wq, ws, G, interpret=True))
     want = np.asarray(q8_matmul_exact(xq, xs, wq.T, ws.T, G))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_batch_tiled_kernels_match_untiled(rng):
+    """Regression for the serving-batch VMEM blowup: with b=1024 the batch
+    axis is split into bt=512 grid tiles (an untiled [b, td] f32 output
+    block hit Mosaic's 16 MB scoped-VMEM limit at serving batch 4096 on
+    hardware). The tiled grid must produce the same values as small-b."""
+    from qwen3_tpu.ops.pallas.q8_matmul import (
+        _pick_bt,
+        q8_matmul_fused,
+        q8_matmul_tiled_fast,
+        q8_q8_matmul_tiled,
+        repack_tiles,
+    )
+    from qwen3_tpu.ops.q8 import quantize_act
+
+    assert _pick_bt(4096) == 512
+    assert _pick_bt(640) == 128
+    assert _pick_bt(8) == 8          # small batches stay untiled
+
+    G, n, d, b = 64, 256, 256, 1024  # b=1024 -> two bt=512 tiles
+    wq = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
+    ws = (0.01 * (0.5 + rng.random((n // G, d)))).astype(np.float32)
+    wqt, wst = repack_tiles(wq, ws, G)
+    wd = (wq.astype(np.float32).reshape(n // G, G, d) * ws[:, None, :]
+          ).reshape(n, d)
+    x = (rng.standard_normal((b, n)) * 0.1).astype(np.float32)
+
+    got = np.asarray(q8_matmul_tiled_fast(
+        jnp.asarray(x), jnp.asarray(wqt), jnp.asarray(wst), G,
+        interpret=True))[:, :d]
+    np.testing.assert_allclose(got, x @ wd, rtol=2e-2, atol=2e-2)
+
+    xq, xs = quantize_act(jnp.asarray(x), G)
+    got = np.asarray(q8_q8_matmul_tiled(
+        xq, xs, jnp.asarray(wqt), jnp.asarray(wst), G, interpret=True))
+    ref = np.asarray(q8_q8_matmul_tiled(
+        xq[:8], xs[:8], jnp.asarray(wqt), jnp.asarray(wst), G,
+        interpret=True))
+    np.testing.assert_allclose(got[:8, :d], ref[:, :d], rtol=0, atol=0)
+
+    inv = (1.0 / np.sqrt((x ** 2).mean(1) + 1e-6)).astype(np.float32)
+    nw = rng.standard_normal(n).astype(np.float32)
+    h = nw[None, :] * (x * inv[:, None])
+    got = np.asarray(q8_matmul_fused(
+        jnp.asarray(x), jnp.asarray(wqt), jnp.asarray(wst), G,
+        inv=jnp.asarray(inv), nw=jnp.asarray(nw), prologue="norm",
+        exact=True, interpret=True))[:, :d]
+    # exact=True quantizes h in-kernel (quantize_act semantics) — compare
+    # against the exact int8 x int8 kernel on the same quantized input
+    hq, hs = quantize_act(jnp.asarray(h), G)
+    want = np.asarray(q8_q8_matmul_tiled(
+        hq, hs, jnp.asarray(wqt), jnp.asarray(wst), G,
+        interpret=True))[:, :d]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
