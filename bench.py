@@ -202,36 +202,44 @@ def measure_decode(cfg, params) -> float:
 
 
 def measure_prefill(cfg, params) -> float:
-    """Chunked prefill tok/s through the Engine's prefill program (logits at
-    the last valid position only)."""
+    """Prefill tok/s through the Engine's actual chunk policy
+    (decode_loop.prefill_plan: graded 512/256/128 blocks for the bulk,
+    BENCH_PREFILL_CHUNK floor for the tail; logits at the last valid
+    position only)."""
     import jax.numpy as jnp
     import numpy as np
 
     from qwen3_tpu.models import forward, init_kv_cache
+    from qwen3_tpu.runtime.decode_loop import prefill_plan
 
     chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "64"))
+    n_prompt = CTX - DECODE_CHUNK          # leave decode headroom
+    plan = prefill_plan(n_prompt, 0, chunk, CTX)
+    widths = sorted({size for _, size in plan})
     k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
-    toks = jnp.full((1, chunk), 7, jnp.int32)
-    n_chunks = min(CTX // chunk, 8)
 
-    log(f"compiling prefill (chunk={chunk})...")
-    lowered = forward.lower(params, cfg, toks, k, v, jnp.int32(0),
-                            mode=QMODE, last_pos=jnp.int32(chunk - 1))
-    fwd = aot_cached(lowered, f"prefill{chunk}")
-    # call structure (incl. keyword-ness) must match the lower() call
-    lg, k, v = fwd(params, toks, k, v, jnp.int32(0),
-                   last_pos=jnp.int32(chunk - 1))
+    log(f"compiling prefill (plan widths {widths})...")
+    fwds = {}
+    for w in widths:
+        toks = jnp.full((1, w), 7, jnp.int32)
+        lowered = forward.lower(params, cfg, toks, k, v, jnp.int32(0),
+                                mode=QMODE, last_pos=jnp.int32(w - 1))
+        fwds[w] = aot_cached(lowered, f"prefill{w}")
+        # call structure (incl. keyword-ness) must match the lower() call
+        lg, k, v = fwds[w](params, toks, k, v, jnp.int32(0),
+                           last_pos=jnp.int32(w - 1))
     _ = np.asarray(lg[0, 0, :8])
 
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        for c in range(n_chunks):
-            lg, k, v = fwd(params, toks, k, v, jnp.int32(c * chunk),
-                           last_pos=jnp.int32(chunk - 1))
+        for off, size in plan:
+            toks = jnp.full((1, size), 7, jnp.int32)
+            lg, k, v = fwds[size](params, toks, k, v, jnp.int32(off),
+                                  last_pos=jnp.int32(size - 1))
     _ = np.asarray(lg[0, 0, :8])
-    tok_s = reps * n_chunks * chunk / (time.perf_counter() - t0)
-    log(f"prefill: {tok_s:.1f} tok/s")
+    tok_s = reps * n_prompt / (time.perf_counter() - t0)
+    log(f"prefill: {tok_s:.1f} tok/s (plan {plan})")
     return tok_s
 
 

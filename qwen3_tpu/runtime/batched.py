@@ -34,7 +34,11 @@ from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.models import forward, init_kv_cache, load_params
 from qwen3_tpu.models.qwen3 import decode_forward_impl
 from qwen3_tpu.runtime import kvcache
-from qwen3_tpu.runtime.decode_loop import burn_and_sample, prefill_blocks
+from qwen3_tpu.runtime.decode_loop import (
+    burn_and_sample,
+    prefill_blocks,
+    prefill_plan,
+)
 from qwen3_tpu.runtime.sampler import (
     Sampler,
     clamp_temperature,
@@ -438,44 +442,43 @@ class BatchedEngine:
             self._queue.remove(req)
             assigned.append((b, req))
 
-        # batched admission: prefill same-chunk-count fresh prompts in ONE
-        # [N, C] forward per chunk instead of N serial dispatches. Streams
+        # batched admission: prefill same-block-plan fresh prompts in ONE
+        # [N, C] forward per block instead of N serial dispatches. Streams
         # stay bit-equal to serial admission (per-row math is batch-size-
-        # independent); chat continuations (start_pos/rng/burn) and prompts
-        # whose padded chunks would cross seq_len take the serial path, as
-        # does the mesh engine (no TP wrapper for the gathered-slots program
-        # yet). One compile per distinct group size N <= max_batch.
+        # independent, and both paths share decode_loop.prefill_plan); chat
+        # continuations (start_pos/rng/burn) take the serial path, as does
+        # the mesh engine (no TP wrapper for the gathered-slots program
+        # yet). One compile per distinct (group size N, block width).
         C = self.prefill_bucket
-        groups: dict[int, list[tuple[int, Request, list]]] = {}
+        groups: dict[tuple, list[tuple[int, Request, list]]] = {}
         for b, req in assigned:
             ids = self.tokenizer.encode(req.prompt)[: self.cfg.seq_len]
-            n_chunks = -(-len(ids) // C) if ids else 0
             if (self._mesh is None and not req.burn_prompt
-                    and req.rng is None and req.start_pos == 0 and ids
-                    and n_chunks * C <= self.cfg.seq_len):
-                groups.setdefault(n_chunks, []).append((b, req, ids))
+                    and req.rng is None and req.start_pos == 0 and ids):
+                plan = prefill_plan(len(ids), 0, C, self.cfg.seq_len)
+                groups.setdefault(plan, []).append((b, req, ids))
             else:
                 self._admit_into(b, req)
-        # cap rows (N x C) per admission program: the [N, C] forward's HBM
-        # temporaries scale with N*C (gathered per-slot KV row copies + fp32
-        # FFN activations), and an uncapped 64 x 64 admission pushed the 4B
-        # preset past the 16 GB chip at compile time. 1024 rows keeps the
-        # program's temp footprint under ~1 GB at 4B scale.
-        cap_n = max(2, int(os.environ.get("QWEN3_TPU_ADMIT_ROWS", "1024"))
-                    // max(C, 1))
-        for n_chunks, items in groups.items():
+        for plan, items in groups.items():
+            # cap rows (N x width) per admission program: the [N, C]
+            # forward's HBM temporaries scale with N*C (gathered per-slot KV
+            # row copies + fp32 FFN activations), and an uncapped 64 x 64
+            # admission pushed the 4B preset past the 16 GB chip at compile
+            # time. 1024 rows keeps the temp footprint under ~1 GB at 4B.
+            widest = max(size for _, size in plan)
+            cap_n = max(2, int(os.environ.get("QWEN3_TPU_ADMIT_ROWS", "1024"))
+                        // max(widest, 1))
             while len(items) > 1:
                 part, items = items[:cap_n], items[cap_n:]
                 if len(part) == 1:
                     self._admit_into(part[0][0], part[0][1])
                 else:
-                    self._admit_batch(part, n_chunks)
+                    self._admit_batch(part, plan)
             if items:
                 self._admit_into(items[0][0], items[0][1])
 
-    def _admit_batch(self, items: list, n_chunks: int) -> None:
+    def _admit_batch(self, items: list, plan: tuple) -> None:
         t0 = time.perf_counter()
-        C = self.prefill_bucket
         temps, topps = [], []
         for b, req, ids in items:
             r_temp = (self.temperature if req.temperature is None
@@ -494,15 +497,15 @@ class BatchedEngine:
 
         k, v = self._kv
         logits = None
-        for c in range(n_chunks):
+        for off, size in plan:
             blocks, lasts = [], []
             for _, _, ids in items:
-                blk = ids[c * C:(c + 1) * C]
+                blk = ids[off:off + size]
                 lasts.append(len(blk) - 1)
-                blocks.append(blk + [0] * (C - len(blk)))
+                blocks.append(blk + [0] * (size - len(blk)))
             logits, k, v = prefill_slots_chunk(
                 self.params, k, v, jnp.asarray(blocks, jnp.int32), slots,
-                jnp.int32(c * C), jnp.asarray(lasts, jnp.int32),
+                jnp.int32(off), jnp.asarray(lasts, jnp.int32),
                 cfg=self.cfg, mode=self.mode)
         self._kv = (k, v)
 

@@ -130,22 +130,60 @@ decode_chunk = functools.partial(
 )(decode_chunk_impl)
 
 
-def prefill_blocks(ids: list, start_pos: int, chunk: int, seq_len: int):
-    """The ONE prompt-chunking policy, shared by Engine._prefill and
-    BatchedEngine._admit_into so single-stream and batched prefill run
-    bit-identical forward programs (same chunk shapes -> same fp32 reduction
-    order -> same KV rows; see tests/test_batched.py chat parity).
+def _prefill_ladder() -> tuple[int, ...]:
+    """Graduated block sizes for long prompts, largest first. Prefill
+    throughput on a v5e chip scales with block width (4B Q8: 4.3k tok/s at
+    64 -> 9.2k at 512 — wider rows amortize the weight streaming), so the
+    bulk of a long prompt runs in the widest block that fits and the tail
+    falls back to the configured chunk. QWEN3_TPU_PREFILL_LADDER overrides
+    (comma-separated, '0' disables grading entirely)."""
+    import os
 
-    Yields (offset, padded_block, n_valid) per chunk. The padded block never
-    extends past the cache: dynamic_update_slice CLAMPS an out-of-range
-    start index, which would shift the whole write over earlier live rows.
-    """
+    raw = os.environ.get("QWEN3_TPU_PREFILL_LADDER", "512,256,128")
+    if raw.strip() == "0":
+        return ()
+    return tuple(sorted((int(s) for s in raw.split(",") if s.strip()),
+                        reverse=True))
+
+
+def prefill_plan(n: int, start_pos: int, chunk: int,
+                 seq_len: int) -> tuple[tuple[int, int], ...]:
+    """The ONE prompt-chunking policy as a shape plan: ((offset, width), ...)
+    for an n-token prompt starting at start_pos. Deterministic in
+    (n, start_pos, chunk, seq_len), so every engine path that prefills the
+    same prompt runs bit-identical forward programs (same block shapes ->
+    same fp32 reduction order -> same KV rows).
+
+    Widths come from the graded ladder when the remaining prompt fills them,
+    else `chunk` (the floor — short prompts behave exactly as before). A
+    block never extends past the cache: dynamic_update_slice CLAMPS an
+    out-of-range start index, which would shift the whole write over
+    earlier live rows."""
+    n = min(n, seq_len - start_pos)
+    ladder = _prefill_ladder()
+    plan: list[tuple[int, int]] = []
+    off = 0
+    while off < n:
+        rem = n - off
+        cap = seq_len - (start_pos + off)
+        size = chunk
+        for s in ladder:
+            if s > chunk and rem >= s and cap >= s:
+                size = s
+                break
+        plan.append((off, min(size, cap)))
+        off += size
+    return tuple(plan)
+
+
+def prefill_blocks(ids: list, start_pos: int, chunk: int, seq_len: int):
+    """prefill_plan applied to concrete ids: yields (offset, padded_block,
+    n_valid) per block, shared by Engine._prefill and
+    BatchedEngine._admit_into (see tests/test_batched.py chat parity)."""
     ids = ids[: seq_len - start_pos]
-    for off in range(0, len(ids), chunk):
-        block = ids[off:off + chunk]
-        n = len(block)
-        cap = min(chunk, seq_len - (start_pos + off))
-        yield off, block + [0] * (cap - n), n
+    for off, size in prefill_plan(len(ids), start_pos, chunk, seq_len):
+        block = ids[off:off + size]
+        yield off, block + [0] * (size - len(block)), len(block)
 
 
 @functools.partial(jax.jit, static_argnames=("greedy", "top_k"))

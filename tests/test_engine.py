@@ -165,3 +165,29 @@ def test_flash_attn_engine_matches_dense(ckpt):
                                   attn=attn, decode_chunk=16))
         outs[attn] = eng.generate("the thinker", max_tokens=24).ids
     assert outs["dense"] == outs["flash"]
+
+
+def test_prefill_plan_graduated():
+    """The shared chunk policy: graded ladder blocks for the bulk of long
+    prompts, the configured chunk as floor/tail, never crossing seq_len."""
+    from qwen3_tpu.runtime.decode_loop import prefill_blocks, prefill_plan
+
+    # short prompt: identical to the ungraded policy (padded to the chunk)
+    assert prefill_plan(10, 0, 64, 2048) == ((0, 64),)
+    assert prefill_plan(100, 0, 64, 2048) == ((0, 64), (64, 64))
+    # long prompt: 512 bulk, graded tail
+    plan = prefill_plan(1000, 0, 64, 2048)
+    assert plan[0] == (0, 512)
+    assert sum(s for _, s in plan) >= 1000
+    assert all(off + s <= 2048 for off, s in plan)
+    # blocks cover the ids exactly, in order, padded to the plan width
+    ids = list(range(1000))
+    got = list(prefill_blocks(ids, 0, 64, 2048))
+    assert [(o, len(b)) for o, b, _ in got] == [(o, s) for o, s in plan]
+    flat = [t for _, b, n in got for t in b[:n]]
+    assert flat == ids
+    # near the cache edge the block is capped, not clamped
+    plan = prefill_plan(600, 1600, 64, 2048)
+    assert all(1600 + off + s <= 2048 for off, s in plan)
+    # ladder respects a larger floor
+    assert prefill_plan(200, 0, 256, 2048) == ((0, 256),)
