@@ -109,9 +109,12 @@ def main(argv=None) -> int:
     ap.add_argument("-y", default=None)
     ap.add_argument("-r", type=int, default=1)
     ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas", "pallas-fast"])
-    ap.add_argument("--attn", default="dense", choices=["dense", "flash"],
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "dense", "flash"],
                     help="decode attention backend (flash = fused Pallas "
-                         "online-softmax kernel)")
+                         "online-softmax kernel; auto = flash for "
+                         "long-context single-stream configs, dense "
+                         "otherwise — chip-measured crossover)")
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)

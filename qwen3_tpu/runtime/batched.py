@@ -326,7 +326,7 @@ class BatchedEngine:
                  mode: str = "bf16", temperature: float = 1.0,
                  top_p: float = 0.9, kv_dtype: str = "float32",
                  prefill_bucket: int = 128, decode_chunk: int = 32,
-                 top_k: int = 64, attn: str = "dense",
+                 top_k: int = 64, attn: str = "auto",
                  side_buffer: bool = True, tp: int = 1, dp: int = 1,
                  model_cfg: ModelConfig | None = None, params=None):
         """`model_cfg`/`params` inject an already-on-device parameter pytree
@@ -360,6 +360,12 @@ class BatchedEngine:
                                           mesh=self._mesh)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
+        if attn == "auto":
+            # chip-measured: dense wins batched short-seq decode by ~1.7x
+            # at B=64/seq 512 (the side-buffer two-segment reads are narrow
+            # and bucketed); flash only pays off at single-stream depth >=8k
+            # (see EngineConfig.attn)
+            attn = "dense"
         self.attn = attn
         self.side_buffer = side_buffer
         self.max_batch = max_batch

@@ -47,7 +47,7 @@ class EngineConfig:
     top_p: float = 0.9
     seq_len: int = 0               # 0 -> min(checkpoint max, 32768) like the CLI
     mode: str = "bf16"             # "exact" | "bf16" | "pallas" | "pallas-fast"
-    attn: str = "dense"            # "dense" | "flash" (decode attention)
+    attn: str = "auto"             # "auto" | "dense" | "flash" (decode attention)
     kv_dtype: str = "float32"
     prefill_chunk: int = 64
     decode_chunk: int = 32         # tokens generated per device dispatch
@@ -90,6 +90,15 @@ class Engine:
 
         self.model_cfg: ModelConfig = read_header(cfg.path).with_seq_len(
             seq_len)
+        if cfg.attn == "auto":
+            # chip-measured policy (4B, v5e, int8 KV): flash ~= dense at
+            # ctx 1k, 1.8x dense at depth 8k, 1.4x at 16k, parity at 32k;
+            # dense wins at shallow positions. Long-context single-stream
+            # configs get flash, short-context stays dense.
+            cfg = dataclasses.replace(
+                cfg, attn="flash" if self.model_cfg.seq_len >= 8192
+                else "dense")
+            self.cfg = cfg
         self._mesh = None
         if cfg.tp > 1:
             from qwen3_tpu.parallel import make_mesh
