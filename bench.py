@@ -218,12 +218,14 @@ def measure_prefill(cfg, params) -> float:
     widths = sorted({size for _, size in plan})
     k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
 
-    log(f"compiling prefill (plan widths {widths})...")
+    attn = os.environ.get("BENCH_ATTN", "dense")
+    log(f"compiling prefill (plan widths {widths}, attn={attn})...")
     fwds = {}
     for w in widths:
         toks = jnp.full((1, w), 7, jnp.int32)
         lowered = forward.lower(params, cfg, toks, k, v, jnp.int32(0),
-                                mode=QMODE, last_pos=jnp.int32(w - 1))
+                                mode=QMODE, attn=attn,
+                                last_pos=jnp.int32(w - 1))
         fwds[w] = aot_cached(lowered, f"prefill{w}")
         # call structure (incl. keyword-ness) must match the lower() call
         lg, k, v = fwds[w](params, toks, k, v, jnp.int32(0),
