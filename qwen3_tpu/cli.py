@@ -112,9 +112,10 @@ def main(argv=None) -> int:
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "dense", "flash"],
                     help="decode attention backend (flash = fused Pallas "
-                         "online-softmax kernel; auto = flash for "
-                         "long-context single-stream configs, dense "
-                         "otherwise — chip-measured crossover)")
+                         "online-softmax kernel; auto = picked per dispatch "
+                         "from the actual attention depth: flash past 8k "
+                         "positions, dense shallower — chip-measured "
+                         "crossover)")
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)

@@ -363,9 +363,12 @@ class BatchedEngine:
         if attn == "auto":
             # chip-measured: dense wins batched short-seq decode by ~1.7x
             # at B=64/seq 512 (the side-buffer two-segment reads are narrow
-            # and bucketed); flash only pays off at single-stream depth >=8k
-            # (see EngineConfig.attn)
-            attn = "dense"
+            # and bucketed), and flash pays off at depth >= 8k — 1.8x at 8k
+            # single-stream, and batched B=8/16 at 8k-32k measured on chip
+            # (see README long-context serving table). Serving slots sit at
+            # heterogeneous depths, so the buffer capacity is the proxy: a
+            # >= 8k-context serving config is provisioned for long streams.
+            attn = "flash" if seq_len >= 8192 else "dense"
         self.attn = attn
         self.side_buffer = side_buffer
         self.max_batch = max_batch

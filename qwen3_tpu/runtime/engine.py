@@ -90,15 +90,6 @@ class Engine:
 
         self.model_cfg: ModelConfig = read_header(cfg.path).with_seq_len(
             seq_len)
-        if cfg.attn == "auto":
-            # chip-measured policy (4B, v5e, int8 KV): flash ~= dense at
-            # ctx 1k, 1.8x dense at depth 8k, 1.4x at 16k, parity at 32k;
-            # dense wins at shallow positions. Long-context single-stream
-            # configs get flash, short-context stays dense.
-            cfg = dataclasses.replace(
-                cfg, attn="flash" if self.model_cfg.seq_len >= 8192
-                else "dense")
-            self.cfg = cfg
         self._mesh = None
         if cfg.tp > 1:
             from qwen3_tpu.parallel import make_mesh
@@ -149,6 +140,20 @@ class Engine:
     def reset_rng(self):
         self._rng = seed_to_device(self.cfg.seed)
 
+    def _attn_for(self, depth: int) -> str:
+        """Resolve attn="auto" per dispatch from the ACTUAL attention depth
+        (the cache position the program reads up to), not the configured
+        buffer capacity: with the default 32k context a construction-time
+        policy would pick flash for every run, including short chats.
+
+        Chip-measured (4B, v5e, int8 KV): flash ~= dense at depth 1k, 1.8x
+        dense at 8k, 1.4x at 16k, parity at 32k; dense wins shallow. A
+        stream crossing the threshold switches programs between chunks (one
+        extra compile, then cached)."""
+        if self.cfg.attn != "auto":
+            return self.cfg.attn
+        return "flash" if depth >= 8192 else "dense"
+
     # -- forward helpers -----------------------------------------------------
 
     def _prefill(self, ids: list[int], start_pos: int) -> jnp.ndarray:
@@ -162,17 +167,18 @@ class Engine:
         # logits are computed (last_pos) — one vocab-matmul row per chunk.
         for off, block, n_valid in prefill_blocks(ids, start_pos, chunk,
                                                   cfg.seq_len):
+            attn = self._attn_for(start_pos + off)
             toks = jnp.asarray([block], jnp.int32)
             if self._mesh is not None:
                 fwd = self._tp_fn("forward", mode=self.cfg.mode,
-                                  attn=self.cfg.attn)
+                                  attn=attn)
                 lg, k, v = fwd(self.params, toks, k, v,
                                jnp.int32(start_pos + off),
                                jnp.int32(n_valid - 1))
             else:
                 lg, k, v = forward(self.params, cfg, toks, k, v,
                                    jnp.int32(start_pos + off),
-                                   mode=self.cfg.mode,
+                                   mode=self.cfg.mode, attn=attn,
                                    last_pos=jnp.int32(n_valid - 1))
             logits = lg[:, 0]
         self._kv = (k, v)
@@ -205,15 +211,16 @@ class Engine:
         k, v = self._kv
         hi, lo = self._rng
         t = self.tokenizer
+        cur = int(pos)                 # host-tracked depth for attn="auto"
         pos = jnp.int32(pos)
         done = False
         statics = dict(
             mode=self.cfg.mode, chunk=self.cfg.decode_chunk,
             temperature=self.sampler.temperature, top_p=self.sampler.top_p,
             greedy=self.greedy, bos=t.special.bos, eos=t.special.eos,
-            emit_at_limit=emit_at_limit, top_k=self.cfg.top_k,
-            attn=self.cfg.attn)
+            emit_at_limit=emit_at_limit, top_k=self.cfg.top_k)
         while not done:
+            statics["attn"] = self._attn_for(cur)
             if self._mesh is not None:
                 packed, k, v, token, pos, hi, lo = self._tp_fn(
                     "chunk", **statics)(self.params, k, v, token, pos,
@@ -224,6 +231,7 @@ class Engine:
                     cfg=self.model_cfg, **statics)
             arr = np.asarray(packed)  # the one host sync per chunk
             n, done = int(arr[-2]), bool(arr[-1])
+            cur += n
             self._kv = (k, v)
             self._rng = (hi, lo)
             self._last_pos = pos
@@ -251,14 +259,17 @@ class Engine:
         emit = jnp.full((1,), emit_at_limit, jnp.bool_)
         lim = jnp.full((1,), limit, jnp.int32)
         done = False
+        cur = int(np.asarray(pos)[0])  # host-tracked depth for attn="auto"
         while not done:
             packed, k, v, token, pos, done_a, hi, lo = batched_decode_chunk(
                 self.params, k, v, token, pos, lim, done_a, hi, lo,
                 temp, topp, emit, cfg=self.model_cfg, mode=self.cfg.mode,
                 chunk=chunk, greedy=self.greedy, bos=t.special.bos,
-                eos=t.special.eos, top_k=self.cfg.top_k, attn=self.cfg.attn,
+                eos=t.special.eos, top_k=self.cfg.top_k,
+                attn=self._attn_for(cur),
                 use_side=self.cfg.decode_impl == "side")
             row = np.asarray(packed)[0]   # the one host sync per chunk
+            cur = int(row[-2])
             toks = row[:chunk]
             toks = toks[toks >= 0]
             done = bool(row[-1])

@@ -44,7 +44,8 @@ def main(argv=None) -> int:
                     choices=["exact", "bf16", "pallas", "pallas-fast"])
     ap.add_argument("--kv-dtype", default="float32",
                     choices=["float32", "bfloat16", "int8"])
-    ap.add_argument("--attn", default="dense", choices=["dense", "flash"])
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "dense", "flash"])
     ap.add_argument("--no-side-buffer", dest="side_buffer",
                     action="store_false", default=True)
     ap.add_argument("--prefill-bucket", type=int, default=128)
