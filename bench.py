@@ -20,10 +20,13 @@ skipped when the remaining BENCH_BUDGET_S cannot fit them.
 
 Env knobs: BENCH_PRESET (default qwen3-4b), BENCH_CTX (1024),
 BENCH_DECODE_TOKENS (256), BENCH_QMODE (pallas — the reference-exact fused
-int8 kernel), BENCH_DECODE_CHUNK (128), BENCH_BATCH (8), BENCH_BUDGET_S
-(480), BENCH_FROM_CKPT=1 (load the real pack instead of device-synth),
-BENCH_RUN_BASELINE=1 (re-measure the C engine even if uncached),
-BENCH_SKIP_BATCHED / BENCH_SKIP_PREFILL =1.
+int8 kernel), BENCH_DECODE_CHUNK (128), BENCH_BATCH (64 — the flagship
+serving headline), BENCH_BUDGET_S (480), BENCH_FROM_CKPT=1 (load the real
+pack instead of device-synth), BENCH_RUN_BASELINE=1 (re-measure the C
+engine even if uncached), BENCH_SKIP_BATCHED / BENCH_SKIP_PREFILL /
+BENCH_SKIP_LONGCTX =1, BENCH_LONGCTX (depths, default 8192,16384,32768),
+BENCH_LONGCTX_ATTN (flash), BENCH_LONGCTX_KV (int8), BENCH_LONGCTX_CTX
+(32768 — cache rows for the dedicated long-context stage).
 """
 
 from __future__ import annotations
@@ -251,7 +254,7 @@ def measure_batched(cfg, params) -> float | None:
     from qwen3_tpu.runtime.batched import BatchedEngine, Request
 
     tok_path = ensure_tokenizer(cfg.vocab_size)
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_tok = int(os.environ.get("BENCH_BATCH_TOKENS", "64"))
     eng = BatchedEngine(
         str(CACHE / f"{PRESET}.bin"), max_batch=batch, seq_len=512,
@@ -281,14 +284,19 @@ def measure_batched(cfg, params) -> float | None:
     return tok_s
 
 
-def measure_long_context(cfg, params) -> dict | None:
+def measure_long_context(cfg, params, ctx: int | None = None) -> dict | None:
     """Decode tok/s at deep context positions with the int8 KV cache
     (BASELINE config #3: the long-context capacity win). The cache is filled
     with device-generated values — attention timing reads ~pos rows
     regardless of their content — and decode runs a chunk at each depth.
 
+    `ctx` overrides the headline CTX (the default stage runs this on a
+    dedicated 32k-row cache regardless of BENCH_CTX; the packed weight
+    leaves are depth-independent, only the rope tables resize).
+
     BENCH_LONGCTX: comma-separated positions (default '8192,16384,32768',
-    clamped to CTX-chunk). Emits {pos: tok_s}."""
+    clamped to ctx-chunk). BENCH_LONGCTX_ATTN: kernel (default 'flash' —
+    the attn=auto resolution at these depths). Emits {pos: tok_s}."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -297,17 +305,18 @@ def measure_long_context(cfg, params) -> dict | None:
     from qwen3_tpu.runtime.decode_loop import decode_chunk
     from qwen3_tpu.runtime.xorshift import seed_to_device
 
+    ctx = CTX if ctx is None else ctx
     depths = [int(x) for x in os.environ.get(
         "BENCH_LONGCTX", "8192,16384,32768").split(",")]
-    # 1 warm + 2 measured chunks must fit below the CTX limit
-    depths = sorted({min(d, CTX - 3 * DECODE_CHUNK - 1) for d in depths})
+    # 1 warm + 2 measured chunks must fit below the ctx limit
+    depths = sorted({min(d, ctx - 3 * DECODE_CHUNK - 1) for d in depths})
     bos, eos = special_ids(cfg.vocab_size)
     kwargs = dict(cfg=cfg, mode=QMODE, chunk=DECODE_CHUNK, temperature=0.0,
                   top_p=0.9, greedy=True, bos=bos, eos=eos,
                   emit_at_limit=False, top_k=64,
-                  attn=os.environ.get("BENCH_ATTN", "dense"))
+                  attn=os.environ.get("BENCH_LONGCTX_ATTN", "flash"))
     kv_dtype = jnp.dtype(os.environ.get("BENCH_LONGCTX_KV", "int8"))
-    k, v = init_kv_cache(cfg, 1, CTX, kv_dtype)
+    k, v = init_kv_cache(cfg, 1, ctx, kv_dtype)
     # fill cache values on device (cheap; int8 caches carry unit scales
     # from init — fine, timing is value-independent)
     fill = jax.jit(lambda a: jax.tree.map(
@@ -317,9 +326,10 @@ def measure_long_context(cfg, params) -> dict | None:
 
     hi, lo = seed_to_device(3)
     tok = jnp.asarray([7], jnp.int32)
-    log(f"long-context: compiling (kv={kv_dtype}, attn={kwargs['attn']})...")
+    log(f"long-context: compiling (ctx={ctx}, kv={kv_dtype}, "
+        f"attn={kwargs['attn']})...")
     lowered = decode_chunk.lower(params, k, v, tok, jnp.int32(0),
-                                 jnp.int32(CTX), hi, lo, **kwargs)
+                                 jnp.int32(ctx), hi, lo, **kwargs)
     compiled = aot_cached(lowered, f"longctx_{kv_dtype}_{kwargs['attn']}")
     out = {}
     for pos in depths:
@@ -329,13 +339,13 @@ def measure_long_context(cfg, params) -> dict | None:
         p = jnp.int32(pos)
         # warm chunk then measured chunks
         packed, k, v, tok, p, hi, lo = compiled(params, k, v, tok, p,
-                                                jnp.int32(CTX), hi, lo)
+                                                jnp.int32(ctx), hi, lo)
         _ = np.asarray(packed)
         t0 = time.perf_counter()
         n = 0
         for _ in range(2):
             packed, k, v, tok, p, hi, lo = compiled(params, k, v, tok, p,
-                                                    jnp.int32(CTX), hi, lo)
+                                                    jnp.int32(ctx), hi, lo)
             arr = np.asarray(packed)
             n += int(arr[-2])
         dt = time.perf_counter() - t0
@@ -481,16 +491,48 @@ def main() -> None:
                                                     1)
             except Exception as e:
                 log(f"batched bench failed: {e}")
-        if os.environ.get("BENCH_LONGCTX") and remaining() > 60:
-            # opt-in: needs BENCH_CTX >= the requested depths (e.g.
-            # BENCH_CTX=32768 BENCH_LONGCTX=8192,16384,32512 on the 8B
-            # int8-KV config — BASELINE #3)
+        if (os.environ.get("BENCH_SKIP_LONGCTX") != "1"
+                and remaining() > 120):
+            # default-on: depths 8k/16k/32k with int8 KV + flash (BASELINE
+            # #3). When the headline CTX already covers the depths (e.g. an
+            # 8B BENCH_CTX=32768 run) the headline cache is reused; else a
+            # dedicated 32k-row cache is built — the packed weight leaves
+            # are seq-len-independent, only the rope tables regenerate.
             try:
-                lc = measure_long_context(cfg, params)
+                if CTX >= 16384:
+                    lc = measure_long_context(cfg, params)
+                else:
+                    from qwen3_tpu.ops.rope import rope_tables
+
+                    import jax.numpy as jnp
+
+                    ctx32 = int(os.environ.get("BENCH_LONGCTX_CTX", "32768"))
+                    cfg32 = cfg.with_seq_len(ctx32)
+                    params32 = dict(params)
+                    cos, sin = rope_tables(cfg.head_dim, ctx32)
+                    params32["rope_cos"] = jnp.asarray(cos)
+                    params32["rope_sin"] = jnp.asarray(sin)
+                    lc = measure_long_context(cfg32, params32, ctx=ctx32)
                 if lc:
                     result["longctx_tok_s"] = lc
+                    result["longctx_kv"] = os.environ.get(
+                        "BENCH_LONGCTX_KV", "int8")
             except Exception as e:
                 log(f"long-context bench failed: {e}")
+        # attach committed at-scale quality evidence (tools/quality_table.py
+        # on the 0.6B artifact — see QUALITY.json/README) so the driver
+        # artifact carries the BASELINE.md quality criterion
+        qpath = REPO / "QUALITY.json"
+        if qpath.exists():
+            try:
+                q = json.loads(qpath.read_text())
+                result["quality"] = {
+                    "pass": q.get("pass"), "ctx": q.get("ctx"),
+                    "max_abs_delta_ln": max(
+                        (abs(r["delta_ln"]) for r in q["rows"].values()
+                         if r.get("delta_ln") is not None), default=None)}
+            except Exception as e:
+                log(f"quality attach failed: {e}")
         try:
             baseline = measure_baseline()
         except Exception as e:  # baseline failure must not sink the bench
