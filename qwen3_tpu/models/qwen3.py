@@ -373,18 +373,32 @@ def _make_linear(mode: str, group_size: int):
         import jax as _jax
 
         from qwen3_tpu.ops.pallas.q8_matmul import (
+            q8_matmul_stacked_fast,
             q8_matmul_tiled_fast,
+            q8_q8_matmul_stacked,
             q8_q8_matmul_tiled,
         )
 
         interpret = _jax.default_backend() == "cpu"
         block_k = int(_os.environ.get("QWEN3_TPU_PALLAS_BK", "512"))
 
+        # layer_w is (w_qt, w_st) for a single layer's tiles (classifier,
+        # legacy path) or (w_qt[L,...], w_st[L,...], l) for the stacked
+        # layout the layer scan uses: the kernel streams layer l's tiles
+        # straight from HBM via a scalar-prefetched index instead of XLA
+        # materializing a VMEM copy of the slab first (see
+        # ops/pallas/q8_matmul._kernel_q8q8_stacked).
         if mode == "pallas-fast":
             # serving throughput: same packed int8 weights and HBM traffic,
             # but bf16 activations straight in and in-VMEM bf16 weight
             # dequant feeding full-K MXU dots (quality class of bf16 mode)
             def linear(x, layer_w):
+                if len(layer_w) == 3:
+                    w_qt, w_st, l = layer_w
+                    return q8_matmul_stacked_fast(x, w_qt, w_st, l,
+                                                  group_size,
+                                                  block_k=block_k,
+                                                  interpret=interpret)
                 w_qt, w_st = layer_w
                 return q8_matmul_tiled_fast(x, w_qt, w_st, group_size,
                                             block_k=block_k,
@@ -394,8 +408,13 @@ def _make_linear(mode: str, group_size: int):
             # (src/forward.c:259), then int8 x int8 group dots in the
             # kernel over the tile-repacked weight layout (see init_params)
             def linear(x, layer_w):
-                w_qt, w_st = layer_w
                 xq, xs = quantize_act(x, group_size)
+                if len(layer_w) == 3:
+                    w_qt, w_st, l = layer_w
+                    return q8_q8_matmul_stacked(xq, xs, w_qt, w_st, l,
+                                                group_size, block_k=block_k,
+                                                interpret=interpret)
+                w_qt, w_st = layer_w
                 return q8_q8_matmul_tiled(xq, xs, w_qt, w_st, group_size,
                                           block_k=block_k,
                                           interpret=interpret)
@@ -494,13 +513,20 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     k_vals, k_sc = kvc.split(k_cache)
     v_vals, v_sc = kvc.split(v_cache)
+    # pallas modes read the layer's weight tiles straight from the stacked
+    # [L, ...] arrays inside the kernel (scalar-prefetched layer index);
+    # putting them in scan xs makes XLA copy each layer's slab into VMEM
+    # and serialize the copy with the matmul (~30% of decode, trace-
+    # attributed). Other modes (and the fused-prologue path) keep xs.
+    stacked = mode.startswith("pallas") and fused is None
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
     }
-    for name in _mat_names(mode):
-        for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
-            layer_xs[name + part] = p[name + part]
+    if not stacked:
+        for name in _mat_names(mode):
+            for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
+                layer_xs[name + part] = p[name + part]
 
     # The KV cache rides the scan CARRY (updated in place at layer l), not
     # xs/ys: mapping it through ys restacks the whole cache in HBM every
@@ -509,10 +535,13 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     def body(carry, xs):
         x, kvs, l = carry
         k_vals, v_vals, k_sc, v_sc = kvs
-        lw = lambda name: tuple(
-            xs[name + part]
-            for part in (("_q", "_s") if mode != "bf16" else ("_t",))
-        )
+        if stacked:
+            lw = lambda name: (p[name + "_q"], p[name + "_s"], l)
+        else:
+            lw = lambda name: tuple(
+                xs[name + part]
+                for part in (("_q", "_s") if mode != "bf16" else ("_t",))
+            )
         if fused is not None:
             qkv = fused(x, lw("wqkv"), "norm", inv=rms_inv(x),
                         nw=xs["att_norm"])
@@ -656,13 +685,17 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     k_vals, k_sc = kvc.split(k_cache)
     v_vals, v_sc = kvc.split(v_cache)
+    # see forward_impl: pallas modes stream layer weights in-kernel from
+    # the stacked arrays instead of scanning them through xs
+    stacked = mode.startswith("pallas") and fused is None
     layer_xs = {
         "att_norm": p["att_norm"], "ffn_norm": p["ffn_norm"],
         "q_norm": p["q_norm"], "k_norm": p["k_norm"],
     }
-    for name in _mat_names(mode):
-        for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
-            layer_xs[name + part] = p[name + part]
+    if not stacked:
+        for name in _mat_names(mode):
+            for part in (("_q", "_s") if mode != "bf16" else ("_t",)):
+                layer_xs[name + part] = p[name + part]
 
     if side is not None:
         side_k, side_v, base_pos, step = side
@@ -678,10 +711,13 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     def body(carry, xs):
         x, kvs, l = carry
         ck, cv, ck_sc, cv_sc = kvs
-        lw = lambda name: tuple(
-            xs[name + part]
-            for part in (("_q", "_s") if mode != "bf16" else ("_t",))
-        )
+        if stacked:
+            lw = lambda name: (p[name + "_q"], p[name + "_s"], l)
+        else:
+            lw = lambda name: tuple(
+                xs[name + part]
+                for part in (("_q", "_s") if mode != "bf16" else ("_t",))
+            )
         if fused is not None:
             qkv = fused(x, lw("wqkv"), "norm", inv=rms_inv(x),
                         nw=xs["att_norm"])

@@ -364,6 +364,160 @@ def q8_q8_matmul_tiled(x_q: jnp.ndarray, x_s: jnp.ndarray,
     return out.reshape(*lead, d)
 
 
+def _kernel_q8q8_stacked(l_ref, xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
+                         group_size: int):
+    """_kernel_q8q8_tiled reading the LAYER-STACKED weight layout
+    [L, J, n, td] via a scalar-prefetched layer index: the kernel's block
+    DMA streams the layer's tiles straight from HBM. Without this, a
+    lax.scan over stacked weights makes XLA materialize each layer's slab
+    into VMEM (dynamic-slice fusion) and then run the kernel against the
+    copy — the copy and the matmul serialize, costing ~30% of decode
+    (device-trace-attributed, round 3)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(gpt):
+        dot = jnp.dot(xq_ref[:, i * g:(i + 1) * g],
+                      wq_ref[0, 0, i * g:(i + 1) * g, :],
+                      preferred_element_type=jnp.int32)       # exact int32
+        acc = acc + dot.astype(jnp.float32) * (
+            xst_ref[i, :][:, None] * ws_ref[0, 0, i, :][None, :])
+    out_ref[:] += acc
+
+
+def _kernel_q8_stacked_fast(l_ref, xf_ref, wq_ref, ws_ref, out_ref, *,
+                            group_size: int):
+    """_kernel_q8_tiled_fast over the layer-stacked layout (see
+    _kernel_q8q8_stacked)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, tk, td = wq_ref.shape
+    g = group_size
+    gpt = tk // g
+
+    w = wq_ref[0, 0].astype(jnp.float32).reshape(gpt, g, td)
+    w = (w * ws_ref[0, 0][:, None, :]).reshape(tk, td).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(xf_ref[...], w, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "interpret"),
+)
+def q8_q8_matmul_stacked(x_q: jnp.ndarray, x_s: jnp.ndarray,
+                         w_qt: jnp.ndarray, w_st: jnp.ndarray,
+                         layer: jnp.ndarray, group_size: int,
+                         block_k: int = 512,
+                         interpret: bool = False) -> jnp.ndarray:
+    """q8_q8_matmul_tiled against ONE layer of the stacked weights.
+
+    x_q: int8 [..., n]; x_s: f32 [..., n/G]
+    w_qt: int8 [L, J, n, td]; w_st: f32 [L, J, n/G, td]; layer: i32 scalar
+    -> out f32 [..., J*td]. Math is bit-identical to q8_q8_matmul_tiled on
+    w_qt[layer] (same tiles, same order); only the addressing differs."""
+    *lead, n = x_q.shape
+    _, j, _, td = w_qt.shape
+    d = j * td
+    xb = x_q.reshape(-1, n)
+    sbt = x_s.reshape(-1, n // group_size).T
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    assert n % tk == 0, (n, tk)
+    gpt = tk // group_size
+    bt = _pick_bt(b)
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, j, n // tk),
+        in_specs=[
+            pl.BlockSpec((bt, tk), lambda i, j, k, lr: (i, k)),
+            pl.BlockSpec((gpt, bt), lambda i, j, k, lr: (k, i)),
+            pl.BlockSpec((1, 1, tk, td), lambda i, j, k, lr: (lr[0], j, k, 0)),
+            pl.BlockSpec((1, 1, gpt, td),
+                         lambda i, j, k, lr: (lr[0], j, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, td), lambda i, j, k, lr: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8q8_stacked, group_size=group_size),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d + b * n
+            + 4 * b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, xb, sbt, w_qt, w_st)
+    return out.reshape(*lead, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "block_k", "interpret"),
+)
+def q8_matmul_stacked_fast(x: jnp.ndarray, w_qt: jnp.ndarray,
+                           w_st: jnp.ndarray, layer: jnp.ndarray,
+                           group_size: int, block_k: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """q8_matmul_tiled_fast against ONE layer of the stacked weights (see
+    q8_q8_matmul_stacked)."""
+    *lead, n = x.shape
+    _, j, _, td = w_qt.shape
+    d = j * td
+    xb = x.reshape(-1, n).astype(jnp.bfloat16)
+    b = xb.shape[0]
+
+    tk = _pick_tile(n, 8 * group_size, block_k)
+    assert n % tk == 0, (n, tk)
+    bt = _pick_bt(b)
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt, j, n // tk),
+        in_specs=[
+            pl.BlockSpec((bt, tk), lambda i, j, k, lr: (i, k)),
+            pl.BlockSpec((1, 1, tk, td), lambda i, j, k, lr: (lr[0], j, k, 0)),
+            pl.BlockSpec((1, 1, tk // group_size, td),
+                         lambda i, j, k, lr: (lr[0], j, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, td), lambda i, j, k, lr: (i, j)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8_stacked_fast, group_size=group_size),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + 4 * (n // group_size) * d
+            + 2 * b * n + 4 * b * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(lidx, xb, w_qt, w_st)
+    return out.reshape(*lead, d)
+
+
 def _kernel_fused(*refs, group_size: int, prologue: str, exact: bool):
     """Tiled Q8_0 matmul with the reference's per-matmul PROLOGUE fused in
     (src/forward.c:254-262 runs rmsnorm -> quantize -> matvec as separate

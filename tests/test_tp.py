@@ -368,6 +368,33 @@ def test_batched_engine_dp_only_mesh(tmp_path, weights):
     assert run(dp=2, tp=1) == run()
 
 
+def test_engine_tp_greedy_golden_stream(tmp_path, weights):
+    """Stream-level TP guarantee: a greedy 64-token generation through the
+    PRODUCT Engine at tp=2 must equal the single-device stream token-for-
+    token — turning the ~1e-5 psum logit tolerance into the guarantee that
+    matters (greedy argmax is insensitive to reduction order except at exact
+    fp32 ties, which synthetic logits don't produce over this horizon)."""
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    from qwen3_tpu.runtime.engine import Engine, EngineConfig
+
+    ckpt = str(tmp_path / "tiny.bin")
+    write_checkpoint(ckpt, weights)
+    write_tokenizer_bin(ckpt + ".tokenizer",
+                        synthetic_tokenizer(CFG.vocab_size))
+
+    def run(tp: int) -> list[int]:
+        eng = Engine(EngineConfig(path=ckpt, temperature=0.0, seed=5,
+                                  seq_len=SEQ, mode="pallas", tp=tp,
+                                  prefill_chunk=16, decode_chunk=8))
+        res = eng.generate("the cat in the hat", max_tokens=SEQ)
+        assert res.n_generated >= 40   # a real multi-chunk stream
+        return res.ids
+
+    assert run(2) == run(1)
+
+
 def test_tp_forward_fused_prologue(monkeypatch, weights, single):
     """QWEN3_TPU_FUSE=1 under shard_map TP: per-shard fused prologues (Q8
     group boundaries align with shard boundaries by check_tp) must match the
