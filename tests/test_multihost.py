@@ -1,10 +1,17 @@
 """Multi-host plumbing (parallel/multihost.py), exercised for REAL: two OS
 processes joined through the actual jax.distributed coordination service,
 gloo CPU collectives standing in for DCN, a (dp=2, tp=2) global mesh spanning
-both processes' devices, and a cross-process psum through shard_map.
+both processes' devices, a cross-process psum — and the MODEL itself: a
+tiny-preset slot prefill + greedy batched decode chunk on the global mesh
+(dp spanning the processes), token-equal to the single-process run.
 
 Runs as subprocesses because jax.distributed can only be initialized once
 per process (and the test session's jax is already initialized single-host).
+Process 0 (the coordinator) is started first and the parent waits until its
+coordination service actually accepts TCP connections before starting
+process 1 — deterministic readiness instead of the old port-retry loop
+(under full-suite load the 1-core host serialized the two workers' jax
+imports past gloo's connect window).
 """
 
 import os
@@ -13,10 +20,11 @@ import socket
 import subprocess
 import sys
 import textwrap
+import time
 
 _REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
-_WORKER = textwrap.dedent("""
+_PREAMBLE = textwrap.dedent("""
     import os, sys
     pid, port = int(sys.argv[1]), sys.argv[2]
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -26,6 +34,9 @@ _WORKER = textwrap.dedent("""
     from qwen3_tpu.parallel import multihost
     multihost.initialize(coordinator_address=f"localhost:{port}",
                          num_processes=2, process_id=pid)
+""")
+
+_PSUM_WORKER = _PREAMBLE + textwrap.dedent("""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = multihost.global_mesh(tp=2)
@@ -42,31 +53,151 @@ _WORKER = textwrap.dedent("""
     print(f"OK pid={pid} primary={multihost.is_primary()}")
 """)
 
+# The ENGINE leg: slot prefill + greedy batched decode chunk through the
+# shard_map serving programs (parallel/tp.py) on the 2-process global mesh,
+# dp spanning the processes — the step between "plumbing" (psum above) and
+# multi-host inference. Both processes also compute the single-device
+# stream locally and assert token equality.
+_ENGINE_WORKER = _PREAMBLE + textwrap.dedent("""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.synthetic import synthetic_weights
+    from qwen3_tpu.models import init_kv_cache, init_params
+    from qwen3_tpu.parallel.tp import (init_sharded_kv,
+                                       make_tp_batched_chunk,
+                                       make_tp_prefill_slot_chunk,
+                                       place_params, tp_host_params)
+    from qwen3_tpu.runtime.batched import (batched_decode_chunk,
+                                           prefill_slot_chunk)
 
-def test_two_process_mesh_psum(tmp_path):
+    SEQ, B, T, CHUNK = 32, 4, 8, 6
+    CFG = dataclasses.replace(PRESETS["tiny"], seq_len=SEQ)
+    w = dataclasses.replace(synthetic_weights(PRESETS["tiny"], seed=3),
+                            config=CFG)
+    prompts = [[(7 * b + i) % 101 + 2 for i in range(T)] for b in range(B)]
+    statics = dict(mode="pallas", chunk=CHUNK, greedy=True, bos=0, eos=1,
+                   top_k=0, use_side=False)
+    temp_np = np.full((B,), 1e-6, np.float32)
+    topp_np = np.full((B,), 0.9, np.float32)
+
+    # single-device baseline (local device 0, no collectives)
+    single = init_params(w, mode="pallas", max_seq_len=SEQ)
+    k, v = init_kv_cache(CFG, B, SEQ)
+    first = []
+    for b in range(B):
+        lg, k, v = prefill_slot_chunk(
+            single, k, v, jnp.asarray(prompts[b], jnp.int32), jnp.int32(b),
+            jnp.int32(0), jnp.int32(T - 1), cfg=CFG, mode="pallas")
+        first.append(int(np.asarray(lg).argmax()))
+    packed, *_ = batched_decode_chunk(
+        single, k, v, jnp.asarray(first, jnp.int32),
+        jnp.full((B,), T, jnp.int32), jnp.full((B,), T + CHUNK, jnp.int32),
+        jnp.zeros((B,), jnp.bool_), jnp.zeros((B,), jnp.uint32),
+        jnp.zeros((B,), jnp.uint32), jnp.asarray(temp_np),
+        jnp.asarray(topp_np), jnp.zeros((B,), jnp.bool_),
+        cfg=CFG, **statics)
+    want = np.asarray(packed)[:, :CHUNK]
+
+    # global mesh: dp=2 spans the two processes, tp=2 within each
+    mesh = multihost.global_mesh(tp=2)
+    params = place_params(tp_host_params(w, 2), mesh, CFG.head_dim, SEQ)
+    kv = init_sharded_kv(CFG, B, SEQ, jnp.float32, mesh)
+    pre = make_tp_prefill_slot_chunk(mesh, CFG, params, kv, mode="pallas")
+    chunk_fn = make_tp_batched_chunk(mesh, CFG, params, kv, **statics)
+
+    def repl(x):      # replicated scalar/array on the global mesh
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    def over_dp(x):   # [B] per-slot state, batch-sharded over dp
+        return jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    k2, v2 = kv
+    first2 = []
+    for b in range(B):
+        lg, k2, v2 = pre(params, k2, v2,
+                         repl(np.asarray(prompts[b], np.int32)),
+                         repl(np.int32(b)), repl(np.int32(0)),
+                         repl(np.int32(T - 1)))
+        first2.append(int(np.asarray(jax.device_get(lg)).argmax()))
+    assert first2 == first, (first2, first)
+    packed2, *_ = chunk_fn(
+        params, k2, v2, over_dp(np.asarray(first2, np.int32)),
+        over_dp(np.full((B,), T, np.int32)),
+        over_dp(np.full((B,), T + CHUNK, np.int32)),
+        over_dp(np.zeros((B,), np.bool_)),
+        over_dp(np.zeros((B,), np.uint32)),
+        over_dp(np.zeros((B,), np.uint32)), over_dp(temp_np),
+        over_dp(topp_np), over_dp(np.zeros((B,), np.bool_)))
+    got = np.asarray(multihost_utils.process_allgather(
+        packed2, tiled=True))[:, :CHUNK]
+    assert np.array_equal(got, want), (got.tolist(), want.tolist())
+    print(f"OK pid={pid} engine tokens={got[:, :3].tolist()}")
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _wait_for_port(port: int, proc: subprocess.Popen,
+                   timeout: float = 180.0) -> None:
+    """Block until the coordinator service accepts TCP connections (or the
+    coordinator process dies)."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"coordinator exited rc={proc.returncode} before serving:\n"
+                f"{err[-2000:]}")
+        try:
+            with socket.create_connection(("localhost", port), timeout=1.0):
+                return
+        except OSError:
+            time.sleep(0.2)
+    raise AssertionError(f"coordinator port {port} never came up")
+
+
+def _run_two(worker_src: str, tmp_path, markers: list[str],
+             timeout: int = 420) -> None:
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(worker_src)
     env = dict(os.environ,
                PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH",
                                                               ""))
-    last = None
-    # under full-suite load the 1-core host can serialize the two workers'
-    # jax imports past gloo's connect window — retry with a fresh port
-    for _ in range(3):
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-        procs = [subprocess.Popen([sys.executable, str(worker), str(i),
-                                   str(port)],
-                                  stdout=subprocess.PIPE,
-                                  stderr=subprocess.PIPE, text=True, env=env)
-                 for i in range(2)]
-        outs = [p.communicate(timeout=240) for p in procs]
-        if all(p.returncode == 0 for p in procs):
-            break
-        last = "\n---\n".join(err[-2000:] for _, err in outs)
-    else:
-        raise AssertionError(f"workers failed 3 times:\n{last}")
+    port = _free_port()
+
+    def spawn(i: int) -> subprocess.Popen:
+        return subprocess.Popen([sys.executable, str(worker), str(i),
+                                 str(port)],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, env=env)
+
+    p0 = spawn(0)
+    # deterministic readiness: only start process 1 once process 0's
+    # coordination service is actually listening
+    _wait_for_port(port, p0)
+    p1 = spawn(1)
+    outs = [p.communicate(timeout=timeout) for p in (p0, p1)]
+    for p, (out, err) in zip((p0, p1), outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
     # gloo logs its peer-connection lines to stdout; the marker is last
     got = sorted(o.strip().splitlines()[-1] for o, _ in outs)
-    assert got == ["OK pid=0 primary=True", "OK pid=1 primary=False"], got
+    for marker in markers:
+        assert any(g.startswith(marker) for g in got), (markers, got)
+
+
+def test_two_process_mesh_psum(tmp_path):
+    _run_two(_PSUM_WORKER, tmp_path,
+             ["OK pid=0 primary=True", "OK pid=1 primary=False"])
+
+
+def test_two_process_engine_forward(tmp_path):
+    _run_two(_ENGINE_WORKER, tmp_path,
+             ["OK pid=0 engine", "OK pid=1 engine"])
