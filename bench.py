@@ -89,6 +89,7 @@ def ensure_checkpoint() -> str | None:
     from qwen3_tpu.io.checkpoint import write_checkpoint
     from qwen3_tpu.io.synthetic import synthetic_weights
 
+    CACHE.mkdir(exist_ok=True)
     path = CACHE / f"{PRESET}.bin"
     if path.exists():
         return str(path)
@@ -398,6 +399,11 @@ def measure_baseline() -> float | None:
     exe = build_reference()
     if exe is None or ckpt is None:
         return None
+    # the C engine requires the .tokenizer sidecar (src/qwen.c:21) — on a
+    # fresh .cache it may not exist yet if the decode phase didn't run first
+    from qwen3_tpu.config import PRESETS
+
+    ensure_tokenizer(PRESETS[PRESET].vocab_size)
     c_lo = int(os.environ.get("BENCH_BASELINE_CTX_LO", "32"))
     c_hi = int(os.environ.get("BENCH_BASELINE_CTX_HI", "160"))
     env = dict(os.environ, OMP_NUM_THREADS=str(os.cpu_count() or 1))

@@ -343,6 +343,73 @@ def make_tp_batched_chunk(mesh: Mesh, cfg: ModelConfig, params_tree: dict,
     return jax.jit(fn, donate_argnums=(1, 2))
 
 
+def make_tp_prefill_slots_chunk(mesh: Mesh, cfg: ModelConfig,
+                                params_tree: dict, kv_tree, *, mode: str,
+                                attn: str = "dense"):
+    """TP/DP version of runtime.batched.prefill_slots_chunk — batched
+    admission: one prompt chunk for N fresh requests through ONE gathered-
+    slots forward per dp shard (instead of N serial slot prefills, which is
+    an admission-latency cliff at dp>1).
+
+    Data-parallel by construction: the HOST routes each request's row to the
+    dp shard that owns its slot and pads every shard to the same row count M
+    (N = M * dp rows total, row args sharded over "dp"), so admission compute
+    scales with dp rather than being replicated. Padding rows are marked
+    invalid: their forward output is discarded and their cache writes are
+    masked back to the current rows, so a padding row may alias ANY local
+    slot (live or pinned) without corrupting it — the host only guarantees
+    the M local slot ids per shard are distinct (no scatter-duplicate
+    hazard).
+
+    tokens: [N, C] i32 padded blocks; slots: [N] i32 GLOBAL batch indices
+    (each row's slot must belong to the dp shard the row is placed on:
+    slot // (B/dp) == row // M); valid: [N] bool; start_pos: i32 scalar
+    (fresh admissions only — chat continuations go through the serial
+    path); last_pos: [N] i32. Returns (logits [N, V] — rows for invalid
+    entries are garbage —, k, v)."""
+    import jax.numpy as _jnp
+    from jax import lax
+
+    from qwen3_tpu.models.qwen3 import forward_impl
+
+    tp, dp = mesh.shape["tp"], mesh.shape["dp"]
+    cfg_loc = local_config(cfg, tp)
+    kspecs = kv_specs(kv_tree)
+
+    def body(p, k_cache, v_cache, tokens, slots, valid, start_pos, last_pos):
+        pl = _unlead(p)
+        bl = jax.tree.leaves(k_cache)[0].shape[1]   # local slots per shard
+        my = lax.axis_index("dp") if dp > 1 else _jnp.int32(0)
+        lslots = _jnp.clip(slots - my * bl, 0, bl - 1)
+
+        take = lambda a: _jnp.take(a, lslots, axis=1)
+
+        def put(full, part):
+            nd = part.ndim
+            keep = valid.reshape((1, -1) + (1,) * (nd - 2))
+            merged = _jnp.where(keep, part.astype(full.dtype), take(full))
+            return full.at[:, lslots].set(merged)
+
+        kv_rows = jax.tree.map(take, k_cache)
+        vv_rows = jax.tree.map(take, v_cache)
+        logits, kr, vr = forward_impl(
+            pl, cfg_loc, tokens, kv_rows, vv_rows, start_pos, mode=mode,
+            attn=attn, last_pos=last_pos,
+            axis_name="tp" if tp > 1 else None, out_vocab=cfg.vocab_size)
+        k_cache = jax.tree.map(put, k_cache, kr)
+        v_cache = jax.tree.map(put, v_cache, vr)
+        return logits[:, 0], k_cache, v_cache
+
+    b = P("dp")
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(_pspecs(params_tree), kspecs[0], kspecs[1],
+                  b, b, b, P(), b),
+        out_specs=(b, kspecs[0], kspecs[1]),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(1, 2))
+
+
 def make_tp_prefill_slot_chunk(mesh: Mesh, cfg: ModelConfig,
                                params_tree: dict, kv_tree, *, mode: str,
                                attn: str = "dense"):

@@ -455,14 +455,15 @@ class BatchedEngine:
         # [N, C] forward per block instead of N serial dispatches. Streams
         # stay bit-equal to serial admission (per-row math is batch-size-
         # independent, and both paths share decode_loop.prefill_plan); chat
-        # continuations (start_pos/rng/burn) take the serial path, as does
-        # the mesh engine (no TP wrapper for the gathered-slots program
-        # yet). One compile per distinct (group size N, block width).
+        # continuations (start_pos/rng/burn) take the serial path. On a
+        # (dp, tp) mesh the rows route to the dp shards owning the slots
+        # (_prefill_slots_mesh). One compile per distinct (group size N,
+        # block width).
         C = self.prefill_bucket
         groups: dict[tuple, list[tuple[int, Request, list]]] = {}
         for b, req in assigned:
             ids = self.tokenizer.encode(req.prompt)[: self.cfg.seq_len]
-            if (self._mesh is None and not req.burn_prompt
+            if (not req.burn_prompt
                     and req.rng is None and req.start_pos == 0 and ids):
                 plan = prefill_plan(len(ids), 0, C, self.cfg.seq_len)
                 groups.setdefault(plan, []).append((b, req, ids))
@@ -500,23 +501,26 @@ class BatchedEngine:
             req.prompt_ids = ids
             temps.append(r_temp)
             topps.append(r_topp)
-        slots = jnp.asarray([b for b, _, _ in items], jnp.int32)
         temps = jnp.asarray(temps, jnp.float32)
         topps = jnp.asarray(topps, jnp.float32)
 
-        k, v = self._kv
-        logits = None
-        for off, size in plan:
-            blocks, lasts = [], []
-            for _, _, ids in items:
-                blk = ids[off:off + size]
-                lasts.append(len(blk) - 1)
-                blocks.append(blk + [0] * (size - len(blk)))
-            logits, k, v = prefill_slots_chunk(
-                self.params, k, v, jnp.asarray(blocks, jnp.int32), slots,
-                jnp.int32(off), jnp.asarray(lasts, jnp.int32),
-                cfg=self.cfg, mode=self.mode)
-        self._kv = (k, v)
+        if self._mesh is not None:
+            logits = self._prefill_slots_mesh(items, plan)
+        else:
+            slots = jnp.asarray([b for b, _, _ in items], jnp.int32)
+            k, v = self._kv
+            logits = None
+            for off, size in plan:
+                blocks, lasts = [], []
+                for _, _, ids in items:
+                    blk = ids[off:off + size]
+                    lasts.append(len(blk) - 1)
+                    blocks.append(blk + [0] * (size - len(blk)))
+                logits, k, v = prefill_slots_chunk(
+                    self.params, k, v, jnp.asarray(blocks, jnp.int32), slots,
+                    jnp.int32(off), jnp.asarray(lasts, jnp.int32),
+                    cfg=self.cfg, mode=self.mode)
+            self._kv = (k, v)
 
         seeds = [seed_to_device(req.seed) for _, req, _ in items]
         hi0 = jnp.stack([s[0] for s in seeds])
@@ -538,6 +542,49 @@ class BatchedEngine:
             self._rng_hi = self._rng_hi.at[b].set(hi[i])
             self._rng_lo = self._rng_lo.at[b].set(lo[i])
             self._slots[b].req = req
+
+    def _prefill_slots_mesh(self, items: list, plan: tuple):
+        """Batched admission on the (dp, tp) mesh: route each request's row
+        to the dp shard owning its slot, pad every shard to a common row
+        count M with masked rows (whose cache writes are discarded by the
+        program — they may alias live/pinned slots safely), and run ONE
+        gathered-slots shard_map program per plan block
+        (parallel/tp.make_tp_prefill_slots_chunk). Returns [len(items), V]
+        last-valid-position logits in items order."""
+        dp = self._mesh.shape["dp"]
+        bl = self.max_batch // dp
+        per: list[list[int]] = [[] for _ in range(dp)]
+        for i, (b, _, _) in enumerate(items):
+            per[b // bl].append(i)
+        M = max(len(g) for g in per)
+        rows: list[tuple[int, Optional[list]]] = []   # (slot, ids | None)
+        item_row = [0] * len(items)
+        for d, g in enumerate(per):
+            used = {items[i][0] for i in g}
+            free = iter(s for s in range(d * bl, (d + 1) * bl)
+                        if s not in used)
+            for i in g:
+                item_row[i] = len(rows)
+                rows.append((items[i][0], items[i][2]))
+            for _ in range(M - len(g)):
+                rows.append((next(free), None))
+
+        slots = jnp.asarray([s for s, _ in rows], jnp.int32)
+        valid = jnp.asarray([ids is not None for _, ids in rows], bool)
+        fn = self._tp_fn("prefill_slots")
+        k, v = self._kv
+        logits = None
+        for off, size in plan:
+            blocks, lasts = [], []
+            for _, ids in rows:
+                blk = [] if ids is None else ids[off:off + size]
+                lasts.append(max(len(blk) - 1, 0))
+                blocks.append(blk + [0] * (size - len(blk)))
+            logits, k, v = fn(self.params, k, v,
+                              jnp.asarray(blocks, jnp.int32), slots, valid,
+                              jnp.int32(off), jnp.asarray(lasts, jnp.int32))
+        self._kv = (k, v)
+        return jnp.take(logits, jnp.asarray(item_row, jnp.int32), axis=0)
 
     def _admit_into(self, b: int, req: Request) -> None:
         t0 = time.perf_counter()
@@ -606,6 +653,10 @@ class BatchedEngine:
 
             if kind == "prefill":
                 fn = _tp.make_tp_prefill_slot_chunk(
+                    self._mesh, self.cfg, self.params, self._kv,
+                    mode=self.mode)
+            elif kind == "prefill_slots":
+                fn = _tp.make_tp_prefill_slots_chunk(
                     self._mesh, self.cfg, self.params, self._kv,
                     mode=self.mode)
             else:
