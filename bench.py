@@ -205,17 +205,20 @@ def measure_decode(cfg, params) -> float:
     return tok_s
 
 
-def measure_prefill(cfg, params) -> float:
+def measure_prefill(cfg, params, mode: str | None = None) -> float:
     """Prefill tok/s through the Engine's actual chunk policy
     (decode_loop.prefill_plan: graded 512/256/128 blocks for the bulk,
     BENCH_PREFILL_CHUNK floor for the tail; logits at the last valid
-    position only)."""
+    position only). `mode` defaults to the headline QMODE; the serving
+    stage passes BATCH_QMODE (pallas-fast: full-K bf16 MXU dots + bf16
+    attention passes — 12.3k tok/s on chip vs 8.5k exact, round 3)."""
     import jax.numpy as jnp
     import numpy as np
 
     from qwen3_tpu.models import forward, init_kv_cache
     from qwen3_tpu.runtime.decode_loop import prefill_plan
 
+    mode = QMODE if mode is None else mode
     chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "64"))
     n_prompt = CTX - DECODE_CHUNK          # leave decode headroom
     plan = prefill_plan(n_prompt, 0, chunk, CTX)
@@ -223,14 +226,15 @@ def measure_prefill(cfg, params) -> float:
     k, v = init_kv_cache(cfg, 1, CTX, jnp.bfloat16)
 
     attn = os.environ.get("BENCH_ATTN", "dense")
-    log(f"compiling prefill (plan widths {widths}, attn={attn})...")
+    log(f"compiling prefill (mode={mode}, plan widths {widths}, "
+        f"attn={attn})...")
     fwds = {}
     for w in widths:
         toks = jnp.full((1, w), 7, jnp.int32)
         lowered = forward.lower(params, cfg, toks, k, v, jnp.int32(0),
-                                mode=QMODE, attn=attn,
+                                mode=mode, attn=attn,
                                 last_pos=jnp.int32(w - 1))
-        fwds[w] = aot_cached(lowered, f"prefill{w}")
+        fwds[w] = aot_cached(lowered, f"prefill_{mode}_{w}")
         # call structure (incl. keyword-ness) must match the lower() call
         lg, k, v = fwds[w](params, toks, k, v, jnp.int32(0),
                            last_pos=jnp.int32(w - 1))
@@ -487,6 +491,13 @@ def main() -> None:
                                                 1)
             except Exception as e:
                 log(f"prefill bench failed: {e}")
+            if BATCH_QMODE != QMODE and remaining() > 60:
+                try:
+                    result["prefill_fast_tok_s"] = round(
+                        measure_prefill(cfg, params, mode=BATCH_QMODE), 1)
+                    result["prefill_fast_qmode"] = BATCH_QMODE
+                except Exception as e:
+                    log(f"fast prefill bench failed: {e}")
         if (os.environ.get("BENCH_SKIP_BATCHED") != "1"
                 and remaining() > 90):
             try:

@@ -583,7 +583,10 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         elif attn == "flash":
             att = _flash_prefill(q, kl, vl, positions, ks, vs)
         else:
-            att = gqa_attention(q, kl, vl, positions, ks, vs)  # [B,T,H,D]
+            # pallas-fast (bf16 quality class) takes bf16 score/value MXU
+            # passes; every other mode keeps fp32-HIGHEST reference numerics
+            att = gqa_attention(q, kl, vl, positions, ks, vs,
+                                fast=mode == "pallas-fast")  # [B,T,H,D]
         att = att.reshape(B, T, H * D)
         if fused is not None:
             x = x + reduce_(fused(att, lw("wo"), "none"))

@@ -159,7 +159,8 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
 
 
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-                  q_positions: jnp.ndarray, k_s=None, v_s=None) -> jnp.ndarray:
+                  q_positions: jnp.ndarray, k_s=None, v_s=None,
+                  fast: bool = False) -> jnp.ndarray:
     """Dense masked GQA attention against the full cache.
 
     q:           [B, T, H, D] (any float dtype; math in fp32)
@@ -167,6 +168,11 @@ def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     q_positions: [T] int32 — absolute position of each query row; a cache slot
                  s attends iff s <= q_positions[t] (causal over the cache).
     k_s/v_s:     optional [B, S, KV] f32 scales for int8 caches.
+    fast:        bf16 MXU passes for the score/value dots (fp32 softmax and
+                 accumulation) — the pallas-fast serving mode's quality
+                 class. fp32 HIGHEST dots cost 6 MXU passes each; at prefill
+                 the attention einsums were ~27% of the device step
+                 (trace-attributed, round 3) for ~10% of the FLOPs.
 
     Returns [B, T, H, D] fp32.
     """
@@ -174,17 +180,21 @@ def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     S, KV = k_cache.shape[1], k_cache.shape[2]
     M = H // KV  # kv_mul
 
-    qf = q.astype(jnp.float32).reshape(B, T, KV, M, D)
+    dot_t = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    qf = q.astype(dot_t).reshape(B, T, KV, M, D)
 
     def attend(kc, vc, ks, vs):
         s = kc.shape[1]
-        kf = _deq(kc, ks)
-        vf = _deq(vc, vs)
-        # scores[b, t, k, m, s] — force true fp32 MXU passes (TPU einsum
-        # defaults to bf16 passes at default precision, which breaks
-        # reference parity)
+        kf = _deq(kc, ks).astype(dot_t)
+        vf = _deq(vc, vs).astype(dot_t)
+        # scores[b, t, k, m, s] — fp32 accumulation either way; without
+        # `fast`, force true fp32 MXU passes (TPU einsum defaults to bf16
+        # passes at default precision, which breaks reference parity)
         scores = jnp.einsum(
-            "btkmd,bskd->btkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+            "btkmd,bskd->btkms", qf, kf, precision=prec,
+            preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.float32(D))
         mask = (
             jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -192,7 +202,8 @@ def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         )  # [T, s]
         probs = _masked_softmax(scores, mask[None, :, None, None, :])
         out = jnp.einsum(
-            "btkms,bskd->btkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+            "btkms,bskd->btkmd", probs.astype(dot_t), vf, precision=prec,
+            preferred_element_type=jnp.float32,
         )
         return out.reshape(B, T, H, D)
 
