@@ -32,6 +32,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _pick_ts(S: int, block_s: int, has_scales: bool) -> int:
+    """Largest power-of-two S-tile <= block_s dividing S. With int8 scales
+    the transposed scale blocks [KV, ts] hit Mosaic's lane-axis rule
+    (ts % 128 == 0 unless ts == S) — fail early with guidance instead of a
+    cryptic lowering error. Engines avoid this by allocating cache rows via
+    runtime.kvcache.pad_rows."""
+    ts = min(block_s, S)
+    while S % ts:
+        ts //= 2
+    if has_scales and ts != S and ts % 128:
+        raise ValueError(
+            f"int8-KV flash attention: cache row count {S} admits no "
+            f"128-multiple S-tile (best divisor {ts}); allocate the cache "
+            f"with runtime.kvcache.pad_rows(rows) (multiples of 256)")
+    return ts
+
+
 def _accum_tile(q_ref, kt, vt, mask, ks_row, vs_row,
                 acc_ref, m_ref, l_ref, *, n_kv: int, head_dim: int):
     """One online-softmax update over a [tile, KV, D] fp32 KV block.
@@ -109,9 +126,7 @@ def flash_decode_gqa(q: jnp.ndarray, k_cache: jnp.ndarray,
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     M = H // KV
-    ts = min(block_s, S)
-    while S % ts:
-        ts //= 2
+    ts = _pick_ts(S, block_s, k_s is not None)
     n_s = S // ts
 
     qr = q.astype(jnp.float32).reshape(B, KV, M, D)
@@ -233,9 +248,7 @@ def flash_decode_gqa_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
     S, KV = k_main.shape[1], k_main.shape[2]
     C = k_side.shape[1]
     M = H // KV
-    ts = min(block_s, S)
-    while S % ts:
-        ts //= 2
+    ts = _pick_ts(S, block_s, k_ms is not None)
     n_s = S // ts
 
     qr = q.astype(jnp.float32).reshape(B, KV, M, D)
@@ -390,9 +403,7 @@ def flash_prefill_gqa(q: jnp.ndarray, k_cache: jnp.ndarray,
     B, T, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     M = H // KV
-    ts = min(block_s, S)
-    while S % ts:
-        ts //= 2
+    ts = _pick_ts(S, block_s, k_s is not None)
     tq = min(block_t, T)
     while T % tq:
         tq //= 2

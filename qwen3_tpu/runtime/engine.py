@@ -113,15 +113,22 @@ class Engine:
     def reset(self, batch: int = 1):
         if self._mesh is not None:
             from qwen3_tpu.parallel.tp import init_sharded_kv
+            from qwen3_tpu.runtime.kvcache import pad_rows
 
             self._kv = init_sharded_kv(self.model_cfg, batch,
-                                       self.model_cfg.seq_len,
+                                       pad_rows(self.model_cfg.seq_len),
                                        self.kv_dtype, self._mesh)
         else:
+            from qwen3_tpu.runtime.kvcache import pad_rows
+
             # side-buffer decode merges a full chunk window; the extra rows
-            # absorb the overhang of a stream finishing right at seq_len
-            rows = self.model_cfg.seq_len + (
-                self.cfg.decode_chunk if self.cfg.decode_impl == "side" else 0)
+            # absorb the overhang of a stream finishing right at seq_len.
+            # pad_rows keeps the row count flash-tileable (odd -c values or
+            # the +chunk overhang would otherwise degrade the flash S-tile
+            # and break int8-KV lowering)
+            rows = pad_rows(self.model_cfg.seq_len + (
+                self.cfg.decode_chunk if self.cfg.decode_impl == "side"
+                else 0))
             self._kv = init_kv_cache(self.model_cfg, batch, rows,
                                      self.kv_dtype)
 

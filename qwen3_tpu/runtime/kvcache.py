@@ -23,6 +23,20 @@ from qwen3_tpu.config import ModelConfig
 Q8_MAX = 127.0
 
 
+def pad_rows(rows: int, quantum: int = 256) -> int:
+    """Round a cache row count up to the flash-kernel tile quantum.
+
+    The flash kernels tile the cache row axis in S-tiles of up to `block_s`
+    (256); the tile must divide S exactly, and with int8 KV the transposed
+    scale blocks [KV, ts] additionally need ts % 128 == 0 (Mosaic lane-axis
+    rule). A row count like seq_len + chunk = 8224 = 2^5 * 257 admits no such
+    tile — the kernel would degrade to 32-row tiles for bf16 KV and fail to
+    lower at all for int8 KV. Engines allocate padded buffers: the extra
+    (< 256) rows are written past every stream's limit and masked out of
+    every attention read, so semantics are unchanged."""
+    return -(-rows // quantum) * quantum
+
+
 def init_kv_cache(cfg: ModelConfig, batch: int, seq_len: int,
                   dtype=jnp.float32):
     """Returns (k_cache, v_cache); each is an array or an int8 (q, s) tuple."""

@@ -104,3 +104,44 @@ def test_flash_prefill_matches_dense(dtype, start):
                             interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pick_ts_int8_guard():
+    """Cache row counts without a 128-multiple S-tile must fail early with
+    guidance under int8 KV (Mosaic rejects the transposed scale blocks) and
+    still work tile-degraded for float caches. Regression: a seq 8192 + 32
+    side-buffer serving cache (8224 = 2^5 * 257 rows) hit the raw Mosaic
+    lowering error on hardware."""
+    from qwen3_tpu.ops.pallas.flash_decode import _pick_ts
+
+    assert _pick_ts(8448, 256, True) == 256          # padded serving cache
+    assert _pick_ts(8224, 256, False) == 32          # degraded but legal
+    assert _pick_ts(64, 256, True) == 64             # whole-dim block: legal
+    with pytest.raises(ValueError, match="pad_rows"):
+        _pick_ts(8224, 256, True)
+
+
+def test_engine_cache_rows_flash_tileable(tmp_path):
+    """Both engines allocate KV buffers in pad_rows quanta so any seq_len /
+    side-buffer combination stays flash-tileable with int8 KV."""
+    import dataclasses
+
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.checkpoint import write_checkpoint
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
+    from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
+    from qwen3_tpu.runtime.batched import BatchedEngine
+    from qwen3_tpu.runtime.kvcache import pad_rows
+
+    assert pad_rows(8224) == 8448 and pad_rows(8192) == 8192
+    assert pad_rows(100) == 256
+
+    cfg = dataclasses.replace(PRESETS["tiny"], seq_len=300)
+    ckpt = str(tmp_path / "tiny300.bin")
+    write_checkpoint(ckpt, synthetic_weights(cfg, seed=2))
+    write_tokenizer_bin(ckpt + ".tokenizer",
+                        synthetic_tokenizer(cfg.vocab_size))
+    eng = BatchedEngine(ckpt, max_batch=2, seq_len=300, mode="pallas",
+                        kv_dtype="int8", decode_chunk=4, side_buffer=True)
+    rows = jax.tree.leaves(eng._kv)[0].shape[2]
+    assert rows % 256 == 0 and rows >= 304
