@@ -361,14 +361,16 @@ class BatchedEngine:
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
         if attn == "auto":
-            # chip-measured: dense wins batched short-seq decode by ~1.7x
-            # at B=64/seq 512 (the side-buffer two-segment reads are narrow
-            # and bucketed), and flash pays off at depth >= 8k — 1.8x at 8k
-            # single-stream, and batched B=8/16 at 8k-32k measured on chip
-            # (see README long-context serving table). Serving slots sit at
-            # heterogeneous depths, so the buffer capacity is the proxy: a
-            # >= 8k-context serving config is provisioned for long streams.
-            attn = "flash" if seq_len >= 8192 else "dense"
+            # chip-measured (4B, int8 KV, side-buffer, round 3): dense wins
+            # batched decode at EVERY depth — B=64/seq 512 by ~1.7x, and at
+            # full long-context depth B=8@8k 139.6 vs 130.3 tok/s, B=4@16k
+            # 70.3 vs 66.0, B=2@32k 34.6 vs 33.0 (flash two-segment's
+            # per-(slot, tile) grid overhead eats its traffic advantage once
+            # the dense path's bucketed reads amortize over slots). Flash
+            # only pays off single-stream: 1.8x at depth 8k, 1.4x at 16k —
+            # mirror Engine's policy for the overlapping max_batch=1 case.
+            attn = ("flash" if max_batch == 1 and seq_len >= 8192
+                    else "dense")
         self.attn = attn
         self.side_buffer = side_buffer
         self.max_batch = max_batch
