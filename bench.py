@@ -266,10 +266,17 @@ def measure_batched(cfg, params) -> float | None:
         # serving-throughput kernel by default (quality class of bf16 mode);
         # single-stream measurement keeps the reference-exact kernel
         mode=BATCH_QMODE, temperature=0.0,
-        kv_dtype="bfloat16", prefill_bucket=64, decode_chunk=32,
+        # int8 KV (BENCH_BATCH_KV): at B=64 the dense-attention programs
+        # carry a full-stack transposed cache copy as an HLO temp (XLA
+        # prefers heads-major for the score/value dots), and bf16 KV's
+        # 6.76 G of copies next to 11.1 G of arguments no longer compile on
+        # the 16 GB chip since the stacked-weights decode layout. int8 KV
+        # is the production serving config anyway (quality: QUALITY.json).
+        kv_dtype=os.environ.get("BENCH_BATCH_KV", "int8"),
+        prefill_bucket=64, decode_chunk=32,
         attn=os.environ.get("BENCH_ATTN", "dense"),
         side_buffer=os.environ.get("BENCH_SIDE", "1") == "1",
-        model_cfg=cfg, params=params)
+        model_cfg=cfg, params=params, aot_dir=str(CACHE / "exec"))
     assert tok_path is not None
 
     def run() -> float:

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import sys
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -328,7 +329,8 @@ class BatchedEngine:
                  prefill_bucket: int = 128, decode_chunk: int = 32,
                  top_k: int = 64, attn: str = "auto",
                  side_buffer: bool = True, tp: int = 1, dp: int = 1,
-                 model_cfg: ModelConfig | None = None, params=None):
+                 model_cfg: ModelConfig | None = None, params=None,
+                 aot_dir: str | None = None):
         """`model_cfg`/`params` inject an already-on-device parameter pytree
         (e.g. bench.py's device-synthesized params), skipping the checkpoint
         load; `path` is then only read for the `.tokenizer` sidecar.
@@ -336,8 +338,16 @@ class BatchedEngine:
         `tp`/`dp` > 1 builds a (dp, tp) mesh over jax.devices() and serves
         through the shard_map programs in parallel/tp.py: weights
         tensor-parallel (pallas modes; TP-aware fused packing), the KV cache
-        and per-slot state batch-sharded over dp (max_batch % dp == 0)."""
+        and per-slot state batch-sharded over dp (max_batch % dp == 0).
+
+        `aot_dir` (or env QWEN3_TPU_AOT_DIR) turns on the cross-process
+        compiled-executable cache (utils/aotcache) for the single-device
+        serving programs: on the tunneled backend a fresh process pays a
+        multi-minute server-side compile per program — which a hard-timeout
+        bench run or a cold serve restart cannot afford."""
         self.tokenizer = Tokenizer.from_file(path)
+        self._aot_dir = aot_dir or os.environ.get("QWEN3_TPU_AOT_DIR")
+        self._aot_fns: dict = {}
         self._mesh = None
         if tp > 1 or dp > 1:
             from qwen3_tpu.parallel import make_mesh
@@ -477,13 +487,25 @@ class BatchedEngine:
                 self._admit_into(b, req)
         for plan, items in groups.items():
             # cap rows (N x width) per admission program: the [N, C]
-            # forward's HBM temporaries scale with N*C (gathered per-slot KV
-            # row copies + fp32 FFN activations), and an uncapped 64 x 64
-            # admission pushed the 4B preset past the 16 GB chip at compile
-            # time. 1024 rows keeps the temp footprint under ~1 GB at 4B.
+            # forward's HBM temporaries scale with N*C (fp32 FFN
+            # activations), and an uncapped 64 x 64 admission pushed the 4B
+            # preset past the 16 GB chip at compile time. 1024 rows keeps
+            # that term under ~1 GB at 4B.
             widest = max(size for _, size in plan)
             cap_n = max(2, int(os.environ.get("QWEN3_TPU_ADMIT_ROWS", "1024"))
                         // max(widest, 1))
+            # ...but the gathered program ALSO copies each slot's FULL-depth
+            # KV rows (jnp.take + .at[].set of [L, N, S_total, KH, HD] —
+            # temps scale with N * cache depth, independent of C). Cap N so
+            # those copies stay inside a fixed budget: at 4B / 768 cache
+            # rows a 16-row admission put 4.65 G of HLO temps next to
+            # 11.1 G of arguments and OOM'd the 16 GB chip at compile time
+            # (bf16 KV, B=64 serving). cap_n=1 degrades to serial admission.
+            per_row = (sum(x.nbytes for x in jax.tree.leaves(self._kv))
+                       // max(self.max_batch, 1))
+            budget = int(os.environ.get("QWEN3_TPU_ADMIT_KV_MB",
+                                        "1536")) << 20
+            cap_n = max(1, min(cap_n, budget // max(2 * per_row, 1)))
             while len(items) > 1:
                 part, items = items[:cap_n], items[cap_n:]
                 if len(part) == 1:
@@ -522,10 +544,16 @@ class BatchedEngine:
                     blk = ids[off:off + size]
                     lasts.append(len(blk) - 1)
                     blocks.append(blk + [0] * (size - len(blk)))
-                logits, k, v = prefill_slots_chunk(
-                    self.params, k, v, jnp.asarray(blocks, jnp.int32), slots,
-                    jnp.int32(off), jnp.asarray(lasts, jnp.int32),
-                    cfg=self.cfg, mode=self.mode)
+                chunk_args = (self.params, k, v,
+                              jnp.asarray(blocks, jnp.int32), slots,
+                              jnp.int32(off), jnp.asarray(lasts, jnp.int32))
+                statics = dict(cfg=self.cfg, mode=self.mode)
+                if self._aot_dir:
+                    logits, k, v = self._aot(
+                        f"padmit_n{len(items)}_c{size}", prefill_slots_chunk,
+                        chunk_args, statics)
+                else:
+                    logits, k, v = prefill_slots_chunk(*chunk_args, **statics)
             self._kv = (k, v)
 
         seeds = [seed_to_device(req.seed) for _, req, _ in items]
@@ -548,6 +576,23 @@ class BatchedEngine:
             self._rng_hi = self._rng_hi.at[b].set(hi[i])
             self._rng_lo = self._rng_lo.at[b].set(lo[i])
             self._slots[b].req = req
+
+    def _aot(self, name: str, jitfn, args: tuple, statics: dict):
+        """Dispatch `jitfn(*args, **statics)` through the cross-process
+        compiled-executable cache (only called when `aot_dir` is set; see
+        __init__). `name` must encode every static that varies at runtime
+        (shapes are covered by the lowered-HLO hash in the cache key, the
+        in-process memo here is by name alone)."""
+        fn = self._aot_fns.get(name)
+        if fn is None:
+            from qwen3_tpu.utils.aotcache import aot_cached
+
+            lowered = jitfn.lower(*args, **statics)
+            fn = aot_cached(lowered, self._aot_dir, name,
+                            log=lambda s: print(f"[Batched] {s}",
+                                                file=sys.stderr))
+            self._aot_fns[name] = fn
+        return fn(*args)
 
     def _prefill_slots_mesh(self, items: list, plan: tuple):
         """Batched admission on the (dp, tp) mesh: route each request's row
@@ -621,10 +666,17 @@ class BatchedEngine:
                     jnp.int32(b), jnp.int32(req.start_pos + off),
                     jnp.int32(n_valid - 1))
             else:
-                logits, k, v = prefill_slot_chunk(
-                    self.params, k, v, jnp.asarray(block, jnp.int32),
-                    jnp.int32(b), jnp.int32(req.start_pos + off),
-                    jnp.int32(n_valid - 1), cfg=self.cfg, mode=self.mode)
+                chunk_args = (self.params, k, v,
+                              jnp.asarray(block, jnp.int32), jnp.int32(b),
+                              jnp.int32(req.start_pos + off),
+                              jnp.int32(n_valid - 1))
+                statics = dict(cfg=self.cfg, mode=self.mode)
+                if self._aot_dir:
+                    logits, k, v = self._aot(
+                        f"padmit1_c{len(block)}", prefill_slot_chunk,
+                        chunk_args, statics)
+                else:
+                    logits, k, v = prefill_slot_chunk(*chunk_args, **statics)
         self._kv = (k, v)
 
         if req.rng is not None:
@@ -688,6 +740,12 @@ class BatchedEngine:
         if self._mesh is not None:
             packed, k, v, tok, pos, done, hi, lo = self._tp_fn(
                 "chunk", **statics)(*args)
+        elif self._aot_dir:
+            key = (f"bdec_b{self.max_batch}_c{self.decode_chunk}"
+                   + ("_g" if all_greedy else ""))
+            packed, k, v, tok, pos, done, hi, lo = self._aot(
+                key, batched_decode_chunk, args, dict(cfg=self.cfg,
+                                                      **statics))
         else:
             packed, k, v, tok, pos, done, hi, lo = batched_decode_chunk(
                 *args, cfg=self.cfg, **statics)

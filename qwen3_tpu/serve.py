@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     ap.add_argument("--decode-chunk", type=int, default=32)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--aot-dir", default=None,
+                    help="compiled-executable cache dir (cold restarts skip "
+                         "the multi-minute serving-program compiles)")
     args = ap.parse_args(argv)
 
     from qwen3_tpu.runtime.batched import BatchedEngine, Request
@@ -74,7 +77,7 @@ def main(argv=None) -> int:
                         side_buffer=args.side_buffer,
                         prefill_bucket=args.prefill_bucket,
                         decode_chunk=args.decode_chunk,
-                        tp=args.tp, dp=args.dp)
+                        tp=args.tp, dp=args.dp, aot_dir=args.aot_dir)
 
     t0 = time.perf_counter()
     reqs = {}

@@ -34,6 +34,14 @@ def aot_cached(lowered, cache_dir: str | Path, name: str,
     except ImportError:
         return lowered.compile()
 
+    if len(jax.devices()) != 1:
+        # deserialize_and_load remaps the executable onto ALL visible
+        # devices (observed: a 1-device serving program reloaded under the
+        # 8-virtual-CPU test mesh demands 8 input shards and refuses
+        # unsharded args). The cache is only trustworthy on single-device
+        # backends — e.g. the tunneled TPU this exists for.
+        return lowered.compile()
+
     dev = jax.devices()[0]
     key = hashlib.sha256(
         (jax.__version__ + dev.device_kind + lowered.as_text()).encode()

@@ -274,3 +274,24 @@ def test_more_requests_than_slots_all_finish(ckpt):
     done = eng.run()
     assert len(done) == len(reqs)
     assert all(r.finished for r in reqs)
+
+
+def test_aot_dir_matches_jit(ckpt, tmp_path):
+    """`aot_dir` routes the serving programs (decode chunk, batched and
+    serial admission) through the cross-process executable cache
+    (utils/aotcache); every stream must be identical to the plain jit
+    path, both cold (compile + serialize) and warm (deserialize + load)."""
+
+    def run(aot_dir):
+        eng = BatchedEngine(ckpt, max_batch=4, seq_len=96, mode="exact",
+                            temperature=0.0, prefill_bucket=16,
+                            decode_chunk=8, aot_dir=aot_dir)
+        reqs = [eng.submit(Request(prompt=p, seed=7 + i, max_tokens=10))
+                for i, p in enumerate(PROMPTS)]
+        eng.run()
+        return [r.prompt_ids + r.out_ids for r in reqs]
+
+    want = run(None)
+    d = str(tmp_path / "exec")
+    assert run(d) == want          # cold: compile (+ cache save if supported)
+    assert run(d) == want          # warm: served from the cache when saved
