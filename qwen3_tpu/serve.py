@@ -70,6 +70,7 @@ def main(argv=None) -> int:
     print(f"[Serve] loading {args.checkpoint} (mode={args.qmode}, "
           f"batch={args.batch}, tp={args.tp}, dp={args.dp})",
           file=sys.stderr)
+    t_load = time.perf_counter()
     eng = BatchedEngine(args.checkpoint, max_batch=args.batch,
                         seq_len=args.c, mode=args.qmode,
                         temperature=args.t, top_p=args.p,
@@ -78,6 +79,9 @@ def main(argv=None) -> int:
                         prefill_bucket=args.prefill_bucket,
                         decode_chunk=args.decode_chunk,
                         tp=args.tp, dp=args.dp, aot_dir=args.aot_dir)
+    print(f"[Serve] engine ready in {time.perf_counter() - t_load:.1f}s "
+          "(checkpoint load + pack cache + device transfer)",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     reqs = {}
