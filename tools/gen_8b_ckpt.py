@@ -10,6 +10,7 @@ seq_len is written as 32768 (the serving context) rather than the preset's
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from pathlib import Path
@@ -19,14 +20,19 @@ from qwen3_tpu.io.checkpoint import write_checkpoint
 from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
 from qwen3_tpu.io.tokenizer_bin import write_tokenizer_bin
 
-PRESET = "deepseek-r1-qwen3-8b"
+# env overrides mirror tools/e2e_8b.py so the stage logic is dry-runnable
+# against a tiny preset on CPU (tests/test_e2e_tool.py)
+PRESET = os.environ.get("QWEN3_E2E_PRESET", "deepseek-r1-qwen3-8b")
+SEQ_LEN = int(os.environ.get("QWEN3_E2E_SEQ_LEN", "32768"))
 
 
 def main() -> int:
-    cache = Path(__file__).resolve().parent.parent / ".cache"
+    cache = Path(os.environ.get(
+        "QWEN3_E2E_CACHE", Path(__file__).resolve().parent.parent / ".cache"))
     cache.mkdir(exist_ok=True)
     path = cache / f"{PRESET}.bin"
-    cfg = dataclasses.replace(PRESETS[PRESET], seq_len=32768)
+    cfg = dataclasses.replace(PRESETS[PRESET],
+                              seq_len=min(SEQ_LEN, PRESETS[PRESET].seq_len))
     if not path.exists():
         t0 = time.time()
         print(f"generating {PRESET} weights...", flush=True)
