@@ -182,6 +182,24 @@ def init_params(w: Q8Weights, mode: str = "bf16",
     return _to_device(_host_params(w, mode), w.config.head_dim, max_seq_len)
 
 
+def materialize_params(params) -> None:
+    """Force every parameter leaf onto the device NOW.
+
+    On the tunneled runtime, `jnp.asarray` of host (mmap) arrays defers the
+    actual host->device upload until first use — so the first dispatch of a
+    serving program against a freshly loaded multi-GB checkpoint silently
+    pays the whole transfer (~28 MB/s through the tunnel: ~5 min for the
+    8B pack, measured round 4), which misattributes load cost to decode.
+    Engines call this at init so `engine ready` carries the transfer (the
+    analog of the reference faulting its mmap pages on the first forward,
+    src/model.c:19-48). Fetching one element per leaf is the reliable sync
+    on this runtime (block_until_ready does not synchronize here)."""
+    import numpy as np
+
+    for leaf in jax.tree.leaves(params):
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 _PACK_VERSION = 1
 
 
@@ -377,6 +395,8 @@ def _make_linear(mode: str, group_size: int):
             q8_matmul_tiled_fast,
             q8_q8_matmul_stacked,
             q8_q8_matmul_tiled,
+            q8i8_matmul_stacked,
+            q8i8_matmul_tiled,
         )
 
         interpret = _jax.default_backend() == "cpu"
@@ -403,6 +423,21 @@ def _make_linear(mode: str, group_size: int):
                 return q8_matmul_tiled_fast(x, w_qt, w_st, group_size,
                                             block_k=block_k,
                                             interpret=interpret)
+        elif mode == "pallas-int8":
+            # int8-MXU experiment (VERDICT r3 #7): per-(k-tile, column)
+            # in-VMEM weight requant + full-K int8 x int8 MXU dots (2x bf16
+            # peak); same packed tensors and HBM traffic. Quality class
+            # measured via tools/quality_table before any adoption.
+            def linear(x, layer_w):
+                if len(layer_w) == 3:
+                    w_qt, w_st, l = layer_w
+                    return q8i8_matmul_stacked(x, w_qt, w_st, l, group_size,
+                                               block_k=block_k,
+                                               interpret=interpret)
+                w_qt, w_st = layer_w
+                return q8i8_matmul_tiled(x, w_qt, w_st, group_size,
+                                         block_k=block_k,
+                                         interpret=interpret)
         else:
             # reference-exact integer math: quantize activations per group
             # (src/forward.c:259), then int8 x int8 group dots in the
@@ -586,7 +621,7 @@ def forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             # pallas-fast (bf16 quality class) takes bf16 score/value MXU
             # passes; every other mode keeps fp32-HIGHEST reference numerics
             att = gqa_attention(q, kl, vl, positions, ks, vs,
-                                fast=mode == "pallas-fast")  # [B,T,H,D]
+                                fast=mode in ("pallas-fast", "pallas-int8"))  # [B,T,H,D]
         att = att.reshape(B, T, H * D)
         if fused is not None:
             x = x + reduce_(fused(att, lw("wo"), "none"))
@@ -773,8 +808,11 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             if attn == "flash":
                 att = _flash(q[:, 0], kl, vl, positions, ks, vs)
             else:
+                # serving mode takes bf16 attention passes (quality class of
+                # bf16 — mirrors forward_impl's prefill decision, round 3)
                 att = gqa_attention_per_slot(q[:, 0], kl, vl, positions,
-                                             ks, vs)
+                                             ks, vs,
+                                             fast=mode in ("pallas-fast", "pallas-int8"))
         else:
             # all B rows share the step index -> ONE uniform
             # dynamic_update_slice per buffer, no scatter, no unroll
@@ -810,7 +848,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 else:
                     att = gqa_attention_two_segment(
                         q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
-                        k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss)
+                        k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss,
+                        fast=mode in ("pallas-fast", "pallas-int8"))
 
         att = att.reshape(B, 1, H * D)
         if fused is not None:

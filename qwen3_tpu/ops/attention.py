@@ -28,10 +28,14 @@ def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _deq(cache: jnp.ndarray, scales) -> jnp.ndarray:
-    """fp32 view of the cache; int8 caches carry per-(pos, head) scales."""
+def _deq(cache: jnp.ndarray, scales, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantized view of the cache; int8 caches carry per-(pos, head)
+    scales. `dtype=bfloat16` halves the materialized-temp HBM traffic for
+    the bf16-quality serving mode (scale multiply still in fp32)."""
     f = cache.astype(jnp.float32)
-    return f if scales is None else f * scales[..., None]
+    if scales is not None:
+        f = f * scales[..., None]
+    return f.astype(dtype)
 
 
 def _bucket_sizes(s: int, smallest: int = 256) -> list[int]:
@@ -70,29 +74,46 @@ def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches):
 
 def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, positions: jnp.ndarray,
-                           k_s=None, v_s=None) -> jnp.ndarray:
+                           k_s=None, v_s=None,
+                           fast: bool = False) -> jnp.ndarray:
     """Single-token GQA attention with a distinct position per batch slot.
 
     q: [B, H, D]; k/v_cache: [B, S, KV, D]; positions: [B] int32.
     Slot b attends cache slots 0..positions[b]. Returns [B, H, D] fp32.
+
+    `fast`: bf16 score/value MXU passes + bf16 dequant temps (fp32 softmax
+    and accumulation) — the pallas-fast serving mode's quality class. The
+    default path keeps fp32-HIGHEST reference numerics. (Two block-diagonal
+    restructurings of the GQA dots — flattening the cache to [B, S, KV*D],
+    and a 4-D (kv, d) contraction — both measured SLOWER on chip than this
+    plain batched einsum: 47.6 / 29.1 vs 27.4 ms per B=64 serving step; the
+    flat reshape materializes layout copies, and the 8x FLOP inflation of
+    block-diagonal loses to XLA's own handling of the small dots. See
+    PROFILE.md.)
     """
     B, H, D = q.shape
     S, KV = k_cache.shape[1], k_cache.shape[2]
     M = H // KV
-    qf = q.astype(jnp.float32).reshape(B, KV, M, D)
+
+    dot_t = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    qf = q.astype(dot_t).reshape(B, KV, M, D)
 
     def attend(kc, vc, ks, vs):
         s = kc.shape[1]
-        kf = _deq(kc, ks)
-        vf = _deq(vc, vs)
+        kf = _deq(kc, ks, dot_t)
+        vf = _deq(vc, vs, dot_t)
         scores = jnp.einsum(
-            "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+            "bkmd,bskd->bkms", qf, kf, precision=prec,
+            preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.float32(D))
         mask = (jnp.arange(s, dtype=jnp.int32)[None, :]
                 <= positions[:, None])                   # [B, s]
         probs = _masked_softmax(scores, mask[:, None, None, :])
         out = jnp.einsum(
-            "bkms,bskd->bkmd", probs, vf, precision=jax.lax.Precision.HIGHEST
+            "bkms,bskd->bkmd", probs.astype(dot_t), vf, precision=prec,
+            preferred_element_type=jnp.float32,
         )
         return out.reshape(B, H, D)
 
@@ -104,8 +125,8 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
                               v_main: jnp.ndarray, k_side: jnp.ndarray,
                               v_side: jnp.ndarray, base_pos: jnp.ndarray,
                               offsets: jnp.ndarray,
-                              k_ms=None, v_ms=None, k_ss=None, v_ss=None
-                              ) -> jnp.ndarray:
+                              k_ms=None, v_ms=None, k_ss=None, v_ss=None,
+                              fast: bool = False) -> jnp.ndarray:
     """Per-slot decode attention over a main cache prefix plus a chunk side
     buffer (the continuous-batching decode layout: rows < base_pos[b] live in
     the main cache, rows written during the current chunk live in the side
@@ -117,27 +138,40 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
     Scores from both segments share one masked softmax, so the math equals
     single-buffer attention over the same rows (up to fp32 reduction order of
     the concatenated score axis). Returns [B, H, D] fp32.
+
+    `fast`: bf16 score/value MXU passes + bf16 dequant temps (fp32 softmax
+    and accumulation) — the pallas-fast serving mode's quality class; see
+    gqa_attention_per_slot. This is the B=64 serving flagship's attention:
+    the fp32-HIGHEST dots + fp32 dequant temps here were the single largest
+    device term of the batched step (trace-attributed, round 4: 18.8 of
+    34.7 ms; bf16 passes cut the step to 27.4 ms).
     """
     B, H, D = q.shape
     S, KV = k_main.shape[1], k_main.shape[2]
     C = k_side.shape[1]
     M = H // KV
-    qf = q.astype(jnp.float32).reshape(B, KV, M, D)
     inv = 1.0 / jnp.sqrt(jnp.float32(D))
-
-    ksf = _deq(k_side, k_ss)
-    vsf = _deq(v_side, v_ss)
-    scores_s = jnp.einsum(
-        "bkmd,bckd->bkmc", qf, ksf, precision=jax.lax.Precision.HIGHEST
-    ) * inv
     mask_s = (jnp.arange(C, dtype=jnp.int32)[None, :]
               <= offsets[:, None])                       # [B, C]
 
+    dot_t = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    qf = q.astype(dot_t).reshape(B, KV, M, D)
+
+    ksf = _deq(k_side, k_ss, dot_t)
+    vsf = _deq(v_side, v_ss, dot_t)
+    scores_s = jnp.einsum(
+        "bkmd,bckd->bkmc", qf, ksf, precision=prec,
+        preferred_element_type=jnp.float32,
+    ) * inv
+
     def attend(kc, vc, ks, vs):
         s = kc.shape[1]
-        kf = _deq(kc, ks)
+        kf = _deq(kc, ks, dot_t)
         scores_m = jnp.einsum(
-            "bkmd,bskd->bkms", qf, kf, precision=jax.lax.Precision.HIGHEST
+            "bkmd,bskd->bkms", qf, kf, precision=prec,
+            preferred_element_type=jnp.float32,
         ) * inv
         mask_m = (jnp.arange(s, dtype=jnp.int32)[None, :]
                   < base_pos[:, None])                    # [B, s]
@@ -145,11 +179,12 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
         mask = jnp.concatenate([mask_m, mask_s], axis=-1)[:, None, None, :]
         probs = _masked_softmax(scores, mask)
         out = jnp.einsum(
-            "bkms,bskd->bkmd", probs[..., :s], _deq(vc, vs),
-            precision=jax.lax.Precision.HIGHEST,
+            "bkms,bskd->bkmd", probs[..., :s].astype(dot_t),
+            _deq(vc, vs, dot_t),
+            precision=prec, preferred_element_type=jnp.float32,
         ) + jnp.einsum(
-            "bkmc,bckd->bkmd", probs[..., s:], vsf,
-            precision=jax.lax.Precision.HIGHEST,
+            "bkmc,bckd->bkmd", probs[..., s:].astype(dot_t), vsf,
+            precision=prec, preferred_element_type=jnp.float32,
         )
         return out.reshape(B, H, D)
 

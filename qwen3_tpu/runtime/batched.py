@@ -368,6 +368,11 @@ class BatchedEngine:
             mc, self.params = load_params(path, mode=mode,
                                           max_seq_len=seq_len, tp=tp,
                                           mesh=self._mesh)
+            from qwen3_tpu.models import materialize_params
+
+            # upload now, not at the first decode dispatch (its docstring;
+            # injected params are already device-resident)
+            materialize_params(self.params)
         self.cfg: ModelConfig = mc.with_seq_len(seq_len)
         self.mode = mode
         if attn == "auto":

@@ -98,6 +98,10 @@ class Engine:
         _, self.params = load_params(cfg.path, mode=cfg.mode,
                                      max_seq_len=self.model_cfg.seq_len,
                                      tp=cfg.tp, mesh=self._mesh)
+        from qwen3_tpu.models import materialize_params
+
+        # upload now, not at the first decode dispatch (see its docstring)
+        materialize_params(self.params)
         self._tp_fns: dict = {}
         self.sampler = Sampler(self.tokenizer.vocab_size, cfg.temperature,
                                cfg.top_p, cfg.seed)

@@ -157,3 +157,62 @@ def test_batch_tiled_kernels_match_untiled(rng):
         hq, hs, jnp.asarray(wqt), jnp.asarray(wst), G,
         interpret=True))[:, :d]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_q8i8_kernel_close_to_dequant(rng):
+    """int8-MXU kernel (per-tile weight requant + full-K int8 dots,
+    VERDICT r3 #7): not bit-exact — the requant rounds weights to the
+    tile-max scale — but must stay within the quantization-noise class of
+    the dequant reference on well-conditioned weights."""
+    from qwen3_tpu.ops.pallas.q8_matmul import (
+        q8i8_matmul_tiled,
+        q8i8_matmul_stacked,
+        repack_tiles,
+    )
+    from qwen3_tpu.ops.q8 import dequantize
+
+    G, n, d = 64, 512, 256
+    wq = rng.integers(-127, 128, size=(n, d)).astype(np.int8)
+    ws = (0.01 * (0.5 + rng.random((n // G, d)))).astype(np.float32)
+    x = (rng.standard_normal((4, n)) * 0.1).astype(np.float32)
+
+    w_qt, w_st = repack_tiles(wq, ws, G)
+    got = np.asarray(q8i8_matmul_tiled(
+        jnp.asarray(x), jnp.asarray(w_qt), jnp.asarray(w_st), G,
+        interpret=True))
+    wf = np.asarray(dequantize(jnp.asarray(wq.T), jnp.asarray(ws.T), G))
+    want = x @ wf.T
+    # per-tile activation quant + tile-scale weight requant: a few % of the
+    # output scale is the expected noise class (scales here vary ~2x)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * scale, (
+        np.abs(got - want).max(), scale)
+
+    # stacked variant addresses layer l of [L, ...] identically
+    L = 3
+    wqs = np.stack([wq] * L)
+    wss = np.stack([ws] * L)
+    w_qt2, w_st2 = repack_tiles(wqs, wss, G)
+    got2 = np.asarray(q8i8_matmul_stacked(
+        jnp.asarray(x), jnp.asarray(w_qt2), jnp.asarray(w_st2),
+        jnp.int32(1), G, interpret=True))
+    np.testing.assert_allclose(got2, got, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_int8_forward_runs(tiny_weights, tiny_cfg):
+    """mode="pallas-int8" runs the forward end-to-end in interpret mode and
+    stays in the quantization-noise class of the pallas-fast logits."""
+    cfg = tiny_cfg
+    pp = init_params(tiny_weights, mode="pallas")
+    toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+
+    k, v = init_kv_cache(cfg, 1, 64)
+    lg_i, _, _ = forward(pp, cfg, toks, k, v, jnp.int32(0),
+                         mode="pallas-int8", all_logits=True)
+    k, v = init_kv_cache(cfg, 1, 64)
+    lg_f, _, _ = forward(pp, cfg, toks, k, v, jnp.int32(0),
+                         mode="pallas-fast", all_logits=True)
+    a, b = np.asarray(lg_i), np.asarray(lg_f)
+    assert np.isfinite(a).all()
+    denom = np.abs(b).max()
+    assert np.abs(a - b).max() < 0.1 * denom, np.abs(a - b).max() / denom

@@ -127,7 +127,7 @@ def main() -> int:
         except ValueError:
             result = {}
     result.update({"preset": PRESET, "ctx": args.ctx})
-    logdir = Path("/tmp/e2e_8b_logs")
+    logdir = Path(f"/tmp/e2e_8b_logs_{PRESET}")
     logdir.mkdir(exist_ok=True)
 
     if not CKPT.exists():
