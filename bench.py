@@ -261,8 +261,11 @@ def measure_batched(cfg, params) -> float | None:
     tok_path = ensure_tokenizer(cfg.vocab_size)
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_tok = int(os.environ.get("BENCH_BATCH_TOKENS", "64"))
+    # BENCH_BATCH_SEQ: per-slot context rows (B=128/256 sweeps shrink it to
+    # fit the 16 GB chip; prompts ~14 tokens + 64 generated stay inside 128)
+    seq = int(os.environ.get("BENCH_BATCH_SEQ", "512"))
     eng = BatchedEngine(
-        str(CACHE / f"{PRESET}.bin"), max_batch=batch, seq_len=512,
+        str(CACHE / f"{PRESET}.bin"), max_batch=batch, seq_len=seq,
         # serving-throughput kernel by default (quality class of bf16 mode);
         # single-stream measurement keeps the reference-exact kernel
         mode=BATCH_QMODE, temperature=0.0,
