@@ -413,10 +413,20 @@ class BatchedEngine:
             self._kv = init_kv_cache(self.cfg, B, cache_rows,
                                      jnp.dtype(kv_dtype))
         self._tp_fns: dict = {}
-        # per-slot sampler params (engine defaults until a request overrides)
+        # per-slot sampler params (engine defaults until a request overrides).
+        # Device mirrors are refreshed only when admission/finish mutates the
+        # host copies: re-uploading four [B] arrays EVERY chunk costs a
+        # tunnel round-trip each (~150 ms/chunk at B=64 — measured round 4
+        # as the gap between raw AOT dispatch (705 ms) and the engine loop
+        # (1282 ms) per chunk).
         self._temp_host = np.full((B,), self.temperature, np.float32)
         self._topp_host = np.full((B,), self.top_p, np.float32)
         self._emit_host = np.zeros((B,), np.bool_)
+        self._slot_args_dirty = True
+        self._limit_dev = None
+        self._temp_dev = None
+        self._topp_dev = None
+        self._emit_dev = None
         self._pinned: set[int] = set()   # conversation-held slots
         self._token = jnp.zeros((B,), jnp.int32)
         self._pos = jnp.zeros((B,), jnp.int32)
@@ -567,20 +577,27 @@ class BatchedEngine:
         tok, hi, lo = first_tokens_batch(logits, hi0, lo0, temps, topps,
                                          top_k=self.top_k)
         now = time.perf_counter()
+        # ONE scatter per state array, not one .at[b].set per (item, array):
+        # each tiny update is its own dispatch through the tunnel, and a
+        # 64-request admission queued ~100 of them — the next chunk's fetch
+        # then waited ~2s for the backlog (measured round 4, step debug)
+        idxs = jnp.asarray([b for b, _, _ in items], jnp.int32)
+        poss = jnp.asarray([len(ids) for _, _, ids in items], jnp.int32)
+        self._token = self._token.at[idxs].set(tok)
+        self._pos = self._pos.at[idxs].set(poss)
+        self._done = self._done.at[idxs].set(False)
+        self._rng_hi = self._rng_hi.at[idxs].set(hi)
+        self._rng_lo = self._rng_lo.at[idxs].set(lo)
         for i, (b, req, ids) in enumerate(items):
             req.prompt_ms = (now - t0) * 1e3
             req._t_admit = now
             pos = len(ids)
-            self._token = self._token.at[b].set(tok[i])
-            self._pos = self._pos.at[b].set(pos)
             limit = self.cfg.seq_len
             if req.max_tokens is not None:
                 limit = min(limit, pos + req.max_tokens)
             self._limit[b] = limit
-            self._done = self._done.at[b].set(False)
-            self._rng_hi = self._rng_hi.at[b].set(hi[i])
-            self._rng_lo = self._rng_lo.at[b].set(lo[i])
             self._slots[b].req = req
+        self._slot_args_dirty = True
 
     def _aot(self, name: str, jitfn, args: tuple, statics: dict):
         """Dispatch `jitfn(*args, **statics)` through the cross-process
@@ -707,6 +724,7 @@ class BatchedEngine:
         self._rng_hi = self._rng_hi.at[b].set(hi)
         self._rng_lo = self._rng_lo.at[b].set(lo)
         self._slots[b].req = req
+        self._slot_args_dirty = True
 
     def _tp_fn(self, kind: str, **statics):
         """Memoized shard_map serving programs (parallel/tp.py)."""
@@ -738,10 +756,17 @@ class BatchedEngine:
             greedy=all_greedy, bos=self.tokenizer.special.bos,
             eos=self.tokenizer.special.eos, top_k=self.top_k,
             attn=self.attn, use_side=self.side_buffer)
+        if self._slot_args_dirty:
+            self._limit_dev = jnp.asarray(self._limit)
+            self._temp_dev = jnp.asarray(self._temp_host)
+            self._topp_dev = jnp.asarray(self._topp_host)
+            self._emit_dev = jnp.asarray(self._emit_host)
+            self._slot_args_dirty = False
         args = (self.params, self._kv[0], self._kv[1], self._token,
-                self._pos, jnp.asarray(self._limit), self._done,
-                self._rng_hi, self._rng_lo, jnp.asarray(self._temp_host),
-                jnp.asarray(self._topp_host), jnp.asarray(self._emit_host))
+                self._pos, self._limit_dev, self._done,
+                self._rng_hi, self._rng_lo, self._temp_dev,
+                self._topp_dev, self._emit_dev)
+        t0 = time.perf_counter()
         if self._mesh is not None:
             packed, k, v, tok, pos, done, hi, lo = self._tp_fn(
                 "chunk", **statics)(*args)
@@ -758,7 +783,12 @@ class BatchedEngine:
         self._token, self._pos, self._done = tok, pos, done
         self._rng_hi, self._rng_lo = hi, lo
 
+        t1 = time.perf_counter()
         arr = np.asarray(packed)        # single host fetch
+        if os.environ.get("QWEN3_TPU_STEP_DEBUG"):
+            print(f"[Batched] chunk: dispatch {1e3*(t1-t0):.0f} ms, "
+                  f"fetch {1e3*(time.perf_counter()-t1):.0f} ms",
+                  file=sys.stderr, flush=True)
         finished = []
         for b, slot in enumerate(self._slots):
             req = slot.req
@@ -783,6 +813,7 @@ class BatchedEngine:
                 self._temp_host[b] = self.temperature
                 self._topp_host[b] = self.top_p
                 self._emit_host[b] = False
+                self._slot_args_dirty = True
         return finished
 
     # -- conversation slot pinning (used by BatchedChat) -------------------

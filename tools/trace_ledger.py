@@ -197,7 +197,10 @@ def run_batched(trace_dir: str) -> dict:
     rows = kvcache.pad_rows(ctx + chunk)
     k, v = init_kv_cache(cfg, B, rows, jnp.dtype(kv_dtype))
     token = jnp.full((B,), 7, jnp.int32)
-    pos = jnp.full((B,), ctx // 2, jnp.int32)   # mid-depth steady state
+    # LEDGER_POS: slot depth (default mid-depth; the short-prompt bench
+    # steady state sits at ~64-80 -> the smallest 256-row bucket)
+    pos = jnp.full((B,), int(os.environ.get("LEDGER_POS", ctx // 2)),
+                   jnp.int32)
     limit = jnp.full((B,), ctx, jnp.int32)
     done = jnp.zeros((B,), bool)
     hi = jnp.full((B,), 0x9E3779B9, jnp.uint32)
