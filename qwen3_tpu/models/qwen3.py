@@ -796,23 +796,31 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
             ck = write_rows(ck, k_enc, 2)
             cv = write_rows(cv, v_enc, 2)
-            kl = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-            vl = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-            ks = vs = None
             if k_es is not None:
                 ck_sc = write_rows(ck_sc, k_es, 1)
                 cv_sc = write_rows(cv_sc, v_es, 1)
-                ks = lax.dynamic_index_in_dim(ck_sc, l, 0, keepdims=False)
-                vs = lax.dynamic_index_in_dim(cv_sc, l, 0, keepdims=False)
 
             if attn == "flash":
+                kl = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+                vl = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+                ks = vs = None
+                if k_es is not None:
+                    ks = lax.dynamic_index_in_dim(ck_sc, l, 0,
+                                                  keepdims=False)
+                    vs = lax.dynamic_index_in_dim(cv_sc, l, 0,
+                                                  keepdims=False)
                 att = _flash(q[:, 0], kl, vl, positions, ks, vs)
             else:
                 # serving mode takes bf16 attention passes (quality class of
-                # bf16 — mirrors forward_impl's prefill decision, round 3)
-                att = gqa_attention_per_slot(q[:, 0], kl, vl, positions,
-                                             ks, vs,
-                                             fast=mode in ("pallas-fast", "pallas-int8"))
+                # bf16 — mirrors forward_impl's prefill decision, round 3).
+                # The STACKED carry + layer index go straight in: a
+                # pre-sliced cache[l] is a bucket-switch operand XLA must
+                # materialize (a full slab copy per layer per step)
+                att = gqa_attention_per_slot(
+                    q[:, 0], ck, cv, positions,
+                    None if k_es is None else ck_sc,
+                    None if k_es is None else cv_sc,
+                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l)
         else:
             # all B rows share the step index -> ONE uniform
             # dynamic_update_slice per buffer, no scatter, no unroll
@@ -826,30 +834,37 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             cv = write_step(cv, v_enc)
             ksl = lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
             vsl = lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-            kss = vss = kms = vms = None
+            kss = vss = None
             if k_es is not None:
                 ck_sc = write_step(ck_sc, k_es)
                 cv_sc = write_step(cv_sc, v_es)
                 kss = lax.dynamic_index_in_dim(ck_sc, l, 0, keepdims=False)
                 vss = lax.dynamic_index_in_dim(cv_sc, l, 0, keepdims=False)
-                kms = lax.dynamic_index_in_dim(k_sc, l, 0, keepdims=False)
-                vms = lax.dynamic_index_in_dim(v_sc, l, 0, keepdims=False)
             # main cache read-only from the closure (a scan carry would
             # double-buffer it)
             if attn == "none":  # debug: isolate attention cost in benches
                 att = jnp.zeros((B, H, D), jnp.float32)
-            else:
+            elif attn == "flash":
                 kml = lax.dynamic_index_in_dim(k_vals, l, 0, keepdims=False)
                 vml = lax.dynamic_index_in_dim(v_vals, l, 0, keepdims=False)
-                if attn == "flash":
-                    att = _flash_two_segment(
-                        q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
-                        kms, vms, kss, vss)
-                else:
-                    att = gqa_attention_two_segment(
-                        q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
-                        k_ms=kms, v_ms=vms, k_ss=kss, v_ss=vss,
-                        fast=mode in ("pallas-fast", "pallas-int8"))
+                kms = vms = None
+                if k_es is not None:
+                    kms = lax.dynamic_index_in_dim(k_sc, l, 0,
+                                                   keepdims=False)
+                    vms = lax.dynamic_index_in_dim(v_sc, l, 0,
+                                                   keepdims=False)
+                att = _flash_two_segment(
+                    q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
+                    kms, vms, kss, vss)
+            else:
+                # stacked main cache + layer index (see per_slot branch
+                # above): no materialized slab per layer
+                att = gqa_attention_two_segment(
+                    q[:, 0], k_vals, v_vals, ksl, vsl, base_pos, offsets,
+                    k_ms=None if k_es is None else k_sc,
+                    v_ms=None if k_es is None else v_sc,
+                    k_ss=kss, v_ss=vss,
+                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l)
 
         att = att.reshape(B, 1, H * D)
         if fused is not None:

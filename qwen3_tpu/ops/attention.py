@@ -49,7 +49,7 @@ def _bucket_sizes(s: int, smallest: int = 256) -> list[int]:
     return sizes
 
 
-def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches):
+def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches, layer=None):
     """Dispatch `attend(sliced caches...)` over the smallest power-of-two
     cache prefix covering `max_pos`.
 
@@ -58,14 +58,25 @@ def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches):
     this only cuts HBM traffic (a decode step at position p reads ~p rows
     instead of the full padded seq_len; the reference's O(pos) scan,
     src/forward.c:156-165, gets the same effect for free from its loop bound).
+
+    `layer`: when given, `caches` are the LAYER-STACKED [L, B, S, ...]
+    arrays and each branch extracts layer `layer` itself. A pre-computed
+    `cache[l]` slice is a lax.switch operand, which XLA must materialize —
+    a full-bandwidth copy of the whole padded slab per layer per decode
+    step (the B=64 trace's 5.4 ms 'dynamic-slice_bitcast' item, round 4);
+    slicing inside the branch lets the slice fuse into the branch's
+    dequant/dot reads instead.
     """
+    take = (lambda c: c) if layer is None else (
+        lambda c: jax.lax.dynamic_index_in_dim(c, layer, 0, keepdims=False))
     sizes = _bucket_sizes(s)
     if len(sizes) == 1:
-        return attend(*caches)
+        return attend(*(None if c is None else take(c) for c in caches))
 
     def branch(n):
         def run():
-            return attend(*(None if c is None else c[:, :n] for c in caches))
+            return attend(*(None if c is None else take(c)[:, :n]
+                            for c in caches))
         return run
 
     idx = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), max_pos + 1)
@@ -75,10 +86,11 @@ def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches):
 def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, positions: jnp.ndarray,
                            k_s=None, v_s=None,
-                           fast: bool = False) -> jnp.ndarray:
+                           fast: bool = False, layer=None) -> jnp.ndarray:
     """Single-token GQA attention with a distinct position per batch slot.
 
-    q: [B, H, D]; k/v_cache: [B, S, KV, D]; positions: [B] int32.
+    q: [B, H, D]; k/v_cache: [B, S, KV, D] — or the layer-stacked
+    [L, B, S, KV, D] with `layer` set (see _bucketed); positions: [B] int32.
     Slot b attends cache slots 0..positions[b]. Returns [B, H, D] fp32.
 
     `fast`: bf16 score/value MXU passes + bf16 dequant temps (fp32 softmax
@@ -92,7 +104,8 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
     PROFILE.md.)
     """
     B, H, D = q.shape
-    S, KV = k_cache.shape[1], k_cache.shape[2]
+    cshape = k_cache.shape[1:] if layer is not None else k_cache.shape
+    S, KV = cshape[1], cshape[2]
     M = H // KV
 
     dot_t = jnp.bfloat16 if fast else jnp.float32
@@ -118,7 +131,7 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
         return out.reshape(B, H, D)
 
     return _bucketed(attend, jnp.max(positions), S,
-                     (k_cache, v_cache, k_s, v_s))
+                     (k_cache, v_cache, k_s, v_s), layer=layer)
 
 
 def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
@@ -126,7 +139,7 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
                               v_side: jnp.ndarray, base_pos: jnp.ndarray,
                               offsets: jnp.ndarray,
                               k_ms=None, v_ms=None, k_ss=None, v_ss=None,
-                              fast: bool = False) -> jnp.ndarray:
+                              fast: bool = False, layer=None) -> jnp.ndarray:
     """Per-slot decode attention over a main cache prefix plus a chunk side
     buffer (the continuous-batching decode layout: rows < base_pos[b] live in
     the main cache, rows written during the current chunk live in the side
@@ -147,7 +160,8 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
     34.7 ms; bf16 passes cut the step to 27.4 ms).
     """
     B, H, D = q.shape
-    S, KV = k_main.shape[1], k_main.shape[2]
+    mshape = k_main.shape[1:] if layer is not None else k_main.shape
+    S, KV = mshape[1], mshape[2]
     C = k_side.shape[1]
     M = H // KV
     inv = 1.0 / jnp.sqrt(jnp.float32(D))
@@ -190,7 +204,7 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
 
     # main rows needed: idx < max(base_pos) -> highest index max(base)-1
     return _bucketed(attend, jnp.max(base_pos) - 1, S,
-                     (k_main, v_main, k_ms, v_ms))
+                     (k_main, v_main, k_ms, v_ms), layer=layer)
 
 
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
