@@ -534,7 +534,11 @@ def _kernel_q8i8(l_ref, xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
 
     The in-VMEM VPU work (convert, ratio multiply, round, convert) is the
     same order as the fast kernel's bf16 dequant; HBM traffic is identical
-    (int8 weights + group scales)."""
+    (int8 weights + group scales).
+
+    xst_ref carries the FULL [n/tk, bt] per-(row, k-tile) activation-scale
+    block (a (1, bt) slice would violate Mosaic's sublane divisibility);
+    the kernel picks its k-row by program id."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -555,7 +559,8 @@ def _kernel_q8i8(l_ref, xq_ref, xst_ref, wq_ref, ws_ref, out_ref, *,
     w8 = (jnp.sign(wf) * jnp.floor(jnp.abs(wf) + 0.5)
           ).reshape(tk, td).astype(jnp.int8)
     dot = jnp.dot(xq_ref[...], w8, preferred_element_type=jnp.int32)
-    out_ref[:] += dot.astype(jnp.float32) * (xst_ref[0, :][:, None] * s8)
+    xs_row = xst_ref[k, :]                         # this k-tile's row scales
+    out_ref[:] += dot.astype(jnp.float32) * (xs_row[:, None] * s8)
 
 
 @functools.partial(
@@ -588,7 +593,7 @@ def q8i8_matmul_stacked(x: jnp.ndarray, w_qt: jnp.ndarray,
         grid=(b // bt, j, n // tk),
         in_specs=[
             pl.BlockSpec((bt, tk), lambda i, j, k, lr: (i, k)),
-            pl.BlockSpec((1, bt), lambda i, j, k, lr: (k, i)),
+            pl.BlockSpec((n // tk, bt), lambda i, j, k, lr: (0, i)),
             pl.BlockSpec((1, 1, tk, td), lambda i, j, k, lr: (lr[0], j, k, 0)),
             pl.BlockSpec((1, 1, tk // group_size, td),
                          lambda i, j, k, lr: (lr[0], j, k, 0)),
@@ -645,7 +650,7 @@ def q8i8_matmul_tiled(x: jnp.ndarray, w_qt: jnp.ndarray, w_st: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((bt, tk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j, k: (k, i),
+            pl.BlockSpec((n // tk, bt), lambda i, j, k: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, td), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
