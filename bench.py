@@ -558,11 +558,17 @@ def main() -> None:
         if qpath.exists():
             try:
                 q = json.loads(qpath.read_text())
+                # round-4 shape: {"tables": {preset: {ctx, rows, ...}}};
+                # the earlier single-table shape kept for robustness
+                tables = q.get("tables") or {PRESET: q}
+                deltas = [abs(r["delta_ln"])
+                          for t in tables.values()
+                          for r in t.get("rows", {}).values()
+                          if r.get("delta_ln") is not None]
                 result["quality"] = {
-                    "pass": q.get("pass"), "ctx": q.get("ctx"),
-                    "max_abs_delta_ln": max(
-                        (abs(r["delta_ln"]) for r in q["rows"].values()
-                         if r.get("delta_ln") is not None), default=None)}
+                    "pass": q.get("pass"),
+                    "presets": sorted(tables),
+                    "max_abs_delta_ln": max(deltas, default=None)}
             except Exception as e:
                 log(f"quality attach failed: {e}")
         try:
