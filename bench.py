@@ -276,7 +276,8 @@ def measure_batched(cfg, params) -> float | None:
         # the 16 GB chip since the stacked-weights decode layout. int8 KV
         # is the production serving config anyway (quality: QUALITY.json).
         kv_dtype=os.environ.get("BENCH_BATCH_KV", "int8"),
-        prefill_bucket=64, decode_chunk=32,
+        prefill_bucket=64,
+        decode_chunk=int(os.environ.get("BENCH_BATCH_CHUNK", "32")),
         attn=os.environ.get("BENCH_ATTN", "dense"),
         side_buffer=os.environ.get("BENCH_SIDE", "1") == "1",
         model_cfg=cfg, params=params, aot_dir=str(CACHE / "exec"))
