@@ -401,9 +401,11 @@ class BatchedEngine:
         # rows absorb the overhang of a slot finishing right at seq_len.
         # Rounded up to the flash tile quantum (kvcache.pad_rows): a row
         # count like 8192+32 admits no 128-multiple S-tile, which degrades
-        # the flash kernels to 32-row tiles and fails int8-KV lowering
+        # the flash kernels to 32-row tiles and fails int8-KV lowering.
+        # Dense-pinned engines need only sublane alignment (see pad_rows).
         cache_rows = kvcache.pad_rows(
-            self.cfg.seq_len + (decode_chunk if side_buffer else 0))
+            self.cfg.seq_len + (decode_chunk if side_buffer else 0),
+            quantum=8 if self.attn == "dense" else 256)
         if self._mesh is not None:
             from qwen3_tpu.parallel.tp import init_sharded_kv
 

@@ -33,7 +33,12 @@ def pad_rows(rows: int, quantum: int = 256) -> int:
     tile — the kernel would degrade to 32-row tiles for bf16 KV and fail to
     lower at all for int8 KV. Engines allocate padded buffers: the extra
     (< 256) rows are written past every stream's limit and masked out of
-    every attention read, so semantics are unchanged."""
+    every attention read, so semantics are unchanged.
+
+    Engines whose attention is pinned DENSE pass quantum=8 (sublane
+    alignment only): the flash quantum padded the B=64 serving cache
+    544 -> 768 rows, inflating the per-layer slab extraction — the #3 term
+    of the serving step (PROFILE.md) — by 41% for rows nothing reads."""
     return -(-rows // quantum) * quantum
 
 
