@@ -402,10 +402,14 @@ class BatchedEngine:
         # Rounded up to the flash tile quantum (kvcache.pad_rows): a row
         # count like 8192+32 admits no 128-multiple S-tile, which degrades
         # the flash kernels to 32-row tiles and fails int8-KV lowering.
-        # Dense-pinned engines need only sublane alignment (see pad_rows).
+        # Dense-pinned engines pad to 128 only: the final attention bucket
+        # (= full row count) must stay lane-aligned — a 224-row cache
+        # measured 10% slower than 256 at B=256 — but the flash quantum's
+        # extra rows (544 -> 768 at the B=64 flagship) are pure slab-copy
+        # waste.
         cache_rows = kvcache.pad_rows(
             self.cfg.seq_len + (decode_chunk if side_buffer else 0),
-            quantum=8 if self.attn == "dense" else 256)
+            quantum=128 if self.attn == "dense" else 256)
         if self._mesh is not None:
             from qwen3_tpu.parallel.tp import init_sharded_kv
 
