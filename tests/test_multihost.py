@@ -165,32 +165,47 @@ def _wait_for_port(port: int, proc: subprocess.Popen,
 
 
 def _run_two(worker_src: str, tmp_path, markers: list[str],
-             timeout: int = 420) -> None:
+             timeout: int = 420, attempts: int = 2) -> None:
     worker = tmp_path / "worker.py"
     worker.write_text(worker_src)
     env = dict(os.environ,
                PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH",
                                                               ""))
-    port = _free_port()
 
-    def spawn(i: int) -> subprocess.Popen:
-        return subprocess.Popen([sys.executable, str(worker), str(i),
-                                 str(port)],
-                                stdout=subprocess.PIPE,
-                                stderr=subprocess.PIPE, text=True, env=env)
+    last: Exception | None = None
+    for attempt in range(attempts):
+        port = _free_port()
 
-    p0 = spawn(0)
-    # deterministic readiness: only start process 1 once process 0's
-    # coordination service is actually listening
-    _wait_for_port(port, p0)
-    p1 = spawn(1)
-    outs = [p.communicate(timeout=timeout) for p in (p0, p1)]
-    for p, (out, err) in zip((p0, p1), outs):
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-    # gloo logs its peer-connection lines to stdout; the marker is last
-    got = sorted(o.strip().splitlines()[-1] for o, _ in outs)
-    for marker in markers:
-        assert any(g.startswith(marker) for g in got), (markers, got)
+        def spawn(i: int) -> subprocess.Popen:
+            return subprocess.Popen([sys.executable, str(worker), str(i),
+                                     str(port)],
+                                    stdout=subprocess.PIPE,
+                                    stderr=subprocess.PIPE, text=True,
+                                    env=env)
+
+        p0 = spawn(0)
+        # deterministic readiness: only start process 1 once process 0's
+        # coordination service is actually listening
+        _wait_for_port(port, p0)
+        p1 = spawn(1)
+        try:
+            outs = [p.communicate(timeout=timeout) for p in (p0, p1)]
+            for p, (out, err) in zip((p0, p1), outs):
+                assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            # gloo logs its peer-connection lines to stdout; marker is last
+            got = sorted(o.strip().splitlines()[-1] for o, _ in outs)
+            for marker in markers:
+                assert any(g.startswith(marker) for g in got), (markers, got)
+            return
+        except (AssertionError, subprocess.TimeoutExpired) as e:
+            # one retry: the jax.distributed + gloo startup occasionally
+            # stalls on this 1-core host when the suite saturates it;
+            # deterministic failures still fail twice
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+            last = e
+    raise last
 
 
 def test_two_process_mesh_psum(tmp_path):
