@@ -192,8 +192,10 @@ def _run_two(worker_src: str, tmp_path, markers: list[str],
             outs = [p.communicate(timeout=timeout) for p in (p0, p1)]
             for p, (out, err) in zip((p0, p1), outs):
                 assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-            # gloo logs its peer-connection lines to stdout; marker is last
-            got = sorted(o.strip().splitlines()[-1] for o, _ in outs)
+            # gloo interleaves async peer-connection log lines on stdout —
+            # sometimes AFTER the OK marker — so search every line, not
+            # just the last
+            got = [ln.strip() for o, _ in outs for ln in o.splitlines()]
             for marker in markers:
                 assert any(g.startswith(marker) for g in got), (markers, got)
             return
