@@ -141,7 +141,17 @@ def test_engine_cache_rows_flash_tileable(tmp_path):
     write_checkpoint(ckpt, synthetic_weights(cfg, seed=2))
     write_tokenizer_bin(ckpt + ".tokenizer",
                         synthetic_tokenizer(cfg.vocab_size))
+    # attn="auto" resolves dense here (short context): rows pad to the
+    # lane quantum 128 only (the flash quantum's extra rows are slab-copy
+    # waste — see runtime/batched.py)
     eng = BatchedEngine(ckpt, max_batch=2, seq_len=300, mode="pallas",
                         kv_dtype="int8", decode_chunk=4, side_buffer=True)
     rows = jax.tree.leaves(eng._kv)[0].shape[2]
-    assert rows % 256 == 0 and rows >= 304
+    assert rows % 128 == 0 and rows >= 304
+    # a flash-pinned engine keeps the 256-row tile quantum (int8-KV
+    # lowering requirement)
+    engf = BatchedEngine(ckpt, max_batch=2, seq_len=300, mode="pallas",
+                         kv_dtype="int8", decode_chunk=4, side_buffer=True,
+                         attn="flash")
+    rows_f = jax.tree.leaves(engf._kv)[0].shape[2]
+    assert rows_f % 256 == 0 and rows_f >= 304
