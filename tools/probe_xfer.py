@@ -15,8 +15,13 @@ def log(msg):
     print(f"[xfer] {msg}", file=sys.stderr, flush=True)
 
 
-# disk read speed of the pack dir (mmap page-in proxy)
-pack = REPO / ".cache/qwen3-1.7b.bin.pack/pallas"
+# disk read speed of a pack dir (mmap page-in proxy) — first cached pack
+_packs = sorted(REPO.glob(".cache/*.bin.pack/pallas"))
+if not _packs:
+    log("no pallas pack under .cache/ — skipping disk-read probe "
+        "(build one with tools/pack_ckpt.py)")
+    sys.exit(0)
+pack = _packs[0]
 t0 = time.time()
 n = 0
 for f in sorted(pack.glob("*.npy"))[:6]:
