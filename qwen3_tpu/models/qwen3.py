@@ -684,7 +684,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         positions: jnp.ndarray, *, mode: str = "bf16",
                         attn: str = "dense", side=None,
                         axis_name: str | None = None,
-                        out_vocab: int | None = None):
+                        out_vocab: int | None = None,
+                        attn_bucket: int | None = None):
     """Batched single-token decode with *per-slot* positions.
 
     tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
@@ -820,7 +821,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     q[:, 0], ck, cv, positions,
                     None if k_es is None else ck_sc,
                     None if k_es is None else cv_sc,
-                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l)
+                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l,
+                    static_bucket=attn_bucket)
         else:
             # all B rows share the step index -> ONE uniform
             # dynamic_update_slice per buffer, no scatter, no unroll
@@ -864,7 +866,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     k_ms=None if k_es is None else k_sc,
                     v_ms=None if k_es is None else v_sc,
                     k_ss=kss, v_ss=vss,
-                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l)
+                    fast=mode in ("pallas-fast", "pallas-int8"), layer=l,
+                    static_bucket=attn_bucket)
 
         att = att.reshape(B, 1, H * D)
         if fused is not None:

@@ -49,7 +49,8 @@ def _bucket_sizes(s: int, smallest: int = 256) -> list[int]:
     return sizes
 
 
-def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches, layer=None):
+def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches, layer=None,
+              static_bucket: int | None = None):
     """Dispatch `attend(sliced caches...)` over the smallest power-of-two
     cache prefix covering `max_pos`.
 
@@ -60,15 +61,32 @@ def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches, layer=None):
     src/forward.c:156-165, gets the same effect for free from its loop bound).
 
     `layer`: when given, `caches` are the LAYER-STACKED [L, B, S, ...]
-    arrays and each branch extracts layer `layer` itself. A pre-computed
-    `cache[l]` slice is a lax.switch operand, which XLA must materialize —
-    a full-bandwidth copy of the whole padded slab per layer per decode
-    step (the B=64 trace's 5.4 ms 'dynamic-slice_bitcast' item, round 4);
-    slicing inside the branch lets the slice fuse into the branch's
-    dequant/dot reads instead.
+    arrays and each branch extracts layer `layer` itself. Either way XLA
+    materializes a per-layer slab copy as the dot operand
+    (`dynamic-slice_bitcast` in the B=64 ledger, PROFILE.md) — but the
+    full-slab extract is CONTIGUOUS and runs at ~550 GB/s (2.46 ms per
+    K/V at B=64, 576 rows).
+
+    `static_bucket`: when given, skip the runtime switch entirely and read
+    exactly the first `static_bucket` rows (the serving engine can pick
+    the bucket on the host between chunks — it knows every slot's
+    position — and dispatch a per-bucket compiled program). Measured and
+    REJECTED as the default on chip (round 4): the static 256-row prefix
+    of the [B, S, ...] cache is a B-STRIDED copy that XLA's emitter runs
+    at ~110 GB/s (5.6 ms per K/V — 2.3x the full contiguous slab it
+    replaces), so the B=64 step goes 20.9 -> 27.2 ms and aggregate drops
+    2313 -> 1961 tok/s (interleaved A/B, tools/ab_static_bucket.py).
+    Forcing materialization via optimization_barrier does not recover it.
+    The switch's full-slab operand is the fast layout; a prefix slice
+    only becomes contiguous under an [S, B, ...] cache order. Kept for
+    probes (engine env QWEN3_TPU_STATIC_BUCKET=1, LEDGER_BUCKET).
     """
     take = (lambda c: c) if layer is None else (
         lambda c: jax.lax.dynamic_index_in_dim(c, layer, 0, keepdims=False))
+    if static_bucket is not None:
+        n = min(static_bucket, s)
+        return attend(*(None if c is None else take(c)[:, :n]
+                        for c in caches))
     sizes = _bucket_sizes(s)
     if len(sizes) == 1:
         return attend(*(None if c is None else take(c) for c in caches))
@@ -86,7 +104,8 @@ def _bucketed(attend, max_pos: jnp.ndarray, s: int, caches, layer=None):
 def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, positions: jnp.ndarray,
                            k_s=None, v_s=None,
-                           fast: bool = False, layer=None) -> jnp.ndarray:
+                           fast: bool = False, layer=None,
+                           static_bucket: int | None = None) -> jnp.ndarray:
     """Single-token GQA attention with a distinct position per batch slot.
 
     q: [B, H, D]; k/v_cache: [B, S, KV, D] — or the layer-stacked
@@ -131,7 +150,8 @@ def gqa_attention_per_slot(q: jnp.ndarray, k_cache: jnp.ndarray,
         return out.reshape(B, H, D)
 
     return _bucketed(attend, jnp.max(positions), S,
-                     (k_cache, v_cache, k_s, v_s), layer=layer)
+                     (k_cache, v_cache, k_s, v_s), layer=layer,
+                     static_bucket=static_bucket)
 
 
 def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
@@ -139,7 +159,9 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
                               v_side: jnp.ndarray, base_pos: jnp.ndarray,
                               offsets: jnp.ndarray,
                               k_ms=None, v_ms=None, k_ss=None, v_ss=None,
-                              fast: bool = False, layer=None) -> jnp.ndarray:
+                              fast: bool = False, layer=None,
+                              static_bucket: int | None = None
+                              ) -> jnp.ndarray:
     """Per-slot decode attention over a main cache prefix plus a chunk side
     buffer (the continuous-batching decode layout: rows < base_pos[b] live in
     the main cache, rows written during the current chunk live in the side
@@ -204,7 +226,8 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
 
     # main rows needed: idx < max(base_pos) -> highest index max(base)-1
     return _bucketed(attend, jnp.max(base_pos) - 1, S,
-                     (k_main, v_main, k_ms, v_ms), layer=layer)
+                     (k_main, v_main, k_ms, v_ms), layer=layer,
+                     static_bucket=static_bucket)
 
 
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,

@@ -74,7 +74,8 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
                               greedy: bool, bos: int, eos: int,
                               top_k: int = 0, use_side: bool = False,
                               axis_name: str | None = None,
-                              out_vocab: int | None = None):
+                              out_vocab: int | None = None,
+                              bucket: int | None = None):
     """Up to `chunk` decode steps over all live slots.
 
     token/pos/limit/done/rng_*: per-slot [B] arrays. A slot stops emitting at
@@ -125,7 +126,8 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
             logits, kc, vc = decode_forward_impl(
                 params, cfg, c.token, k_cache, v_cache, c.pos, mode=mode,
                 attn=attn, side=(c.k_cache, c.v_cache, base_pos, c.step),
-                axis_name=axis_name, out_vocab=out_vocab)
+                axis_name=axis_name, out_vocab=out_vocab,
+                attn_bucket=bucket)
         else:
             # done slots still flow through the batched forward (their rows
             # are wasted work but keep shapes static); clamp their write
@@ -136,7 +138,7 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
             logits, kc, vc = decode_forward_impl(
                 params, cfg, c.token, c.k_cache, c.v_cache, write_pos,
                 mode=mode, attn=attn, axis_name=axis_name,
-                out_vocab=out_vocab)
+                out_vocab=out_vocab, attn_bucket=bucket)
         hi, lo, coin = xorshift_coin_device(c.rng_hi, c.rng_lo)
         g = greedy if greedy else (temp <= _GREEDY_EPS)
         nxt = sample_tokens(logits, coin, temp, topp, greedy=g,
@@ -198,7 +200,8 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
 batched_decode_chunk = functools.partial(
     jax.jit,
     static_argnames=("cfg", "attn", "mode", "chunk", "greedy", "bos", "eos",
-                     "top_k", "use_side", "axis_name", "out_vocab"),
+                     "top_k", "use_side", "axis_name", "out_vocab",
+                     "bucket"),
     donate_argnames=("k_cache", "v_cache"),
 )(batched_decode_chunk_impl)
 
@@ -436,6 +439,23 @@ class BatchedEngine:
         self._pinned: set[int] = set()   # conversation-held slots
         self._token = jnp.zeros((B,), jnp.int32)
         self._pos = jnp.zeros((B,), jnp.int32)
+        # Host shadow of `self._pos`, exact (admission sets it; every chunk's
+        # packed fetch carries c.pos back). With QWEN3_TPU_STATIC_BUCKET=1,
+        # _step picks the dense attention bucket ON THE HOST and dispatches
+        # a per-bucket compiled program (`static_bucket`) instead of the
+        # in-program lax.switch. Measured and REJECTED as the default
+        # (round 4, interleaved A/B at B=64: 1961 vs 2313 tok/s): the
+        # static prefix slice of the [B, S, ...] cache is a B-strided copy
+        # at ~110 GB/s, slower than the switch's full contiguous slab
+        # extract at ~550 GB/s — see ops/attention.py:_bucketed and
+        # PROFILE.md. Kept as an env-gated probe path.
+        self._pos_host = np.zeros((B,), np.int64)
+        self._attn_buckets = None
+        if (self.attn == "dense"
+                and os.environ.get("QWEN3_TPU_STATIC_BUCKET") == "1"):
+            from qwen3_tpu.ops.attention import _bucket_sizes
+
+            self._attn_buckets = _bucket_sizes(cache_rows)
         self._limit = np.zeros((B,), np.int32)
         self._done = jnp.ones((B,), jnp.bool_)
         self._rng_hi = jnp.zeros((B,), jnp.uint32)
@@ -591,6 +611,8 @@ class BatchedEngine:
         poss = jnp.asarray([len(ids) for _, _, ids in items], jnp.int32)
         self._token = self._token.at[idxs].set(tok)
         self._pos = self._pos.at[idxs].set(poss)
+        self._pos_host[[b for b, _, _ in items]] = [
+            len(ids) for _, _, ids in items]
         self._done = self._done.at[idxs].set(False)
         self._rng_hi = self._rng_hi.at[idxs].set(hi)
         self._rng_lo = self._rng_lo.at[idxs].set(lo)
@@ -722,6 +744,7 @@ class BatchedEngine:
         pos = req.start_pos + len(ids)
         self._token = self._token.at[b].set(tok)
         self._pos = self._pos.at[b].set(pos)
+        self._pos_host[b] = pos
         limit = self.cfg.seq_len
         if req.max_tokens is not None:
             limit = min(limit, pos + req.max_tokens)
@@ -762,6 +785,17 @@ class BatchedEngine:
             greedy=all_greedy, bos=self.tokenizer.special.bos,
             eos=self.tokenizer.special.eos, top_k=self.top_k,
             attn=self.attn, use_side=self.side_buffer)
+        bucket = None
+        if self._attn_buckets is not None:
+            # two-segment attention reads main rows < base_pos (the chunk's
+            # rows live in the side buffer); single-buffer attention reads
+            # rows <= position, which advances up to chunk-1 inside the loop
+            need = int(self._pos_host.max())
+            if not self.side_buffer:
+                need += self.decode_chunk
+            bucket = next((n for n in self._attn_buckets if n >= need),
+                          self._attn_buckets[-1])
+            statics["bucket"] = bucket
         if self._slot_args_dirty:
             self._limit_dev = jnp.asarray(self._limit)
             self._temp_dev = jnp.asarray(self._temp_host)
@@ -778,7 +812,8 @@ class BatchedEngine:
                 "chunk", **statics)(*args)
         elif self._aot_dir:
             key = (f"bdec_b{self.max_batch}_c{self.decode_chunk}"
-                   + ("_g" if all_greedy else ""))
+                   + ("_g" if all_greedy else "")
+                   + ("" if bucket is None else f"_k{bucket}"))
             packed, k, v, tok, pos, done, hi, lo = self._aot(
                 key, batched_decode_chunk, args, dict(cfg=self.cfg,
                                                       **statics))
@@ -791,6 +826,7 @@ class BatchedEngine:
 
         t1 = time.perf_counter()
         arr = np.asarray(packed)        # single host fetch
+        self._pos_host[:] = arr[:, -2]  # exact post-chunk positions
         if os.environ.get("QWEN3_TPU_STEP_DEBUG"):
             print(f"[Batched] chunk: dispatch {1e3*(t1-t0):.0f} ms, "
                   f"fetch {1e3*(time.perf_counter()-t1):.0f} ms",

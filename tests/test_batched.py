@@ -295,3 +295,44 @@ def test_aot_dir_matches_jit(ckpt, tmp_path):
     d = str(tmp_path / "exec")
     assert run(d) == want          # cold: compile (+ cache save if supported)
     assert run(d) == want          # warm: served from the cache when saved
+
+
+@pytest.mark.parametrize("side_buffer", [True, False])
+def test_static_bucket_matches_switch(tmp_path, monkeypatch, side_buffer):
+    """Host-side static-bucket dispatch (QWEN3_TPU_STATIC_BUCKET=1 — an
+    env-gated probe path, chip-measured slower than the lax.switch default,
+    see ops/attention.py:_bucketed) must stay bit-equal to the switch
+    bucketing. At seq_len=512 the engine has real sub-buckets (256 < S), so
+    chunks run the sliced-prefix program — every stream must match the
+    switch path exactly (cache rows past the mask contribute 0.0 either
+    way)."""
+
+    import dataclasses
+
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
+
+    cfg = dataclasses.replace(PRESETS["tiny"], seq_len=1024)
+    d = tmp_path / "deep"
+    d.mkdir()
+    path = str(d / "tiny1k.bin")
+    write_checkpoint(path, synthetic_weights(cfg, seed=77))
+    write_tokenizer_bin(path + ".tokenizer",
+                        synthetic_tokenizer(vocab_size=cfg.vocab_size))
+
+    def run():
+        eng = BatchedEngine(path, max_batch=3, seq_len=512, mode="exact",
+                            temperature=0.7, top_p=0.9, prefill_bucket=16,
+                            decode_chunk=8, side_buffer=side_buffer)
+        reqs = [eng.submit(Request(prompt=p, seed=31 + i, max_tokens=10))
+                for i, p in enumerate(PROMPTS)]
+        eng.run()
+        return eng, [r.prompt_ids + r.out_ids for r in reqs]
+
+    monkeypatch.setenv("QWEN3_TPU_STATIC_BUCKET", "1")
+    eng, got = run()
+    assert eng._attn_buckets is not None and len(eng._attn_buckets) > 1
+    monkeypatch.delenv("QWEN3_TPU_STATIC_BUCKET")
+    eng2, want = run()
+    assert eng2._attn_buckets is None
+    assert got == want

@@ -211,6 +211,10 @@ def run_batched(trace_dir: str) -> dict:
     statics = dict(cfg=cfg, mode=qmode, chunk=chunk, attn=attn, greedy=True,
                    bos=cfg.vocab_size - 10, eos=cfg.vocab_size - 9,
                    top_k=64, use_side=True)
+    # LEDGER_BUCKET: trace the static-bucket program (the engine's
+    # host-side dispatch) instead of the in-program lax.switch
+    if os.environ.get("LEDGER_BUCKET"):
+        statics["bucket"] = int(os.environ["LEDGER_BUCKET"])
 
     def step(k, v, token, pos, done, hi, lo):
         out = batched_decode_chunk(params, k, v, token, pos, limit, done,
