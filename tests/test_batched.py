@@ -336,3 +336,49 @@ def test_static_bucket_matches_switch(tmp_path, monkeypatch, side_buffer):
     eng2, want = run()
     assert eng2._attn_buckets is None
     assert got == want
+
+
+def test_static_bucket_chat_pinned_slots(tmp_path, monkeypatch):
+    """Static-bucket dispatch with pinned conversation slots: between turns
+    a pinned slot holds KV at rows < its frozen position with no live
+    request, and `_pos_host` must keep covering it (a too-small bucket
+    would let the frozen slot's two-segment attention read truncated main
+    rows). Reply streams must match the switch path turn for turn."""
+
+    import dataclasses
+
+    from qwen3_tpu.config import PRESETS
+    from qwen3_tpu.io.synthetic import synthetic_tokenizer, synthetic_weights
+    from qwen3_tpu.runtime.batched_chat import BatchedChat
+
+    cfg = dataclasses.replace(PRESETS["tiny"], seq_len=1024)
+    d = tmp_path / "deep"
+    d.mkdir()
+    path = str(d / "tiny1k.bin")
+    write_checkpoint(path, synthetic_weights(cfg, seed=78))
+    write_tokenizer_bin(path + ".tokenizer",
+                        synthetic_tokenizer(vocab_size=cfg.vocab_size))
+    turns = ["the cat", "in the hat and er", "on at the the"]
+
+    def run():
+        eng = BatchedEngine(path, max_batch=3, seq_len=512, mode="exact",
+                            temperature=0.8, top_p=0.9, prefill_bucket=16,
+                            decode_chunk=8)
+        chat = BatchedChat(eng)
+        conv = chat.new_conversation(seed=11, system_prompt="sys")
+        out = []
+        for i, t in enumerate(turns):
+            r = chat.submit_turn(conv, t)
+            if i == 1:  # completion traffic interleaves mid-conversation
+                eng.submit(Request(prompt="the the", seed=5, max_tokens=6))
+            eng.run()
+            chat.finish_turn(conv, r)
+            out.append(list(r.out_ids))
+        return eng, out
+
+    monkeypatch.setenv("QWEN3_TPU_STATIC_BUCKET", "1")
+    eng, got = run()
+    assert eng._attn_buckets is not None and len(eng._attn_buckets) > 1
+    monkeypatch.delenv("QWEN3_TPU_STATIC_BUCKET")
+    _, want = run()
+    assert got == want
