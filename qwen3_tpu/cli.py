@@ -10,8 +10,12 @@ Usage:  python -m qwen3_tpu.cli <checkpoint.bin> [options]
   -i <str>     input prompt
   -y <str>     system prompt (chat mode)
   -r <int>     reasoning: 0=off, 1=thinking (default 1)
-  --qmode      exact|bf16 quantized math path (default bf16)
-  --kv-dtype   float32|bfloat16 KV cache dtype
+  --qmode      exact|bf16|pallas|pallas-fast|pallas-int8 quantized math
+               path (default pallas — the fused reference-exact Q8 kernel,
+               the measured-best single-stream config; `exact`/`bf16` are
+               the XLA-only parity/debug paths)
+  --kv-dtype   float32|bfloat16|int8 KV cache dtype (default int8 — the
+               production serving config; quality-gated in QUALITY.json)
   --max-tokens cap on generated tokens (completion mode)
   --tp <int>   tensor-parallel shards over jax.devices() (pallas modes)
   --profile <dir>      capture a device trace (TensorBoard/Perfetto) around
@@ -108,7 +112,12 @@ def main(argv=None) -> int:
     ap.add_argument("-i", default=None)
     ap.add_argument("-y", default=None)
     ap.add_argument("-r", type=int, default=1)
-    ap.add_argument("--qmode", default="bf16", choices=["exact", "bf16", "pallas", "pallas-fast"])
+    # defaults are the measured-best configuration (README/PROFILE.md):
+    # every benchmarked single-stream figure runs pallas + int8 KV; bf16
+    # weights also refuse to fit the 8B preset on a 16 GB chip
+    ap.add_argument("--qmode", default="pallas",
+                    choices=["exact", "bf16", "pallas", "pallas-fast",
+                             "pallas-int8"])
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "dense", "flash"],
                     help="decode attention backend (flash = fused Pallas "
@@ -116,7 +125,7 @@ def main(argv=None) -> int:
                          "from the actual attention depth: flash past 8k "
                          "positions, dense shallower — chip-measured "
                          "crossover)")
-    ap.add_argument("--kv-dtype", default="float32",
+    ap.add_argument("--kv-dtype", default="int8",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--tp", type=int, default=1,

@@ -71,6 +71,15 @@ PRESETS: dict[str, ModelConfig] = {
         vocab_size=512, seq_len=128, head_dim=32, shared_classifier=True,
         group_size=32,
     ),
+    # Miniature config with the REAL presets' 8-kv-head geometry: exercises
+    # tp=4 and tp=8 sharding (tiny's n_kv_heads=2 caps tp at 2). Per-shard
+    # dims stay group-aligned at tp=8: hidden 512/8=64, proj 16*32/8=64,
+    # both % 32 == 0 (parallel/tp.check_tp).
+    "tiny8": ModelConfig(
+        dim=128, hidden_dim=512, n_layers=2, n_heads=16, n_kv_heads=8,
+        vocab_size=512, seq_len=128, head_dim=32, shared_classifier=True,
+        group_size=32,
+    ),
     "qwen3-0.6b": ModelConfig(
         dim=1024, hidden_dim=3072, n_layers=28, n_heads=16, n_kv_heads=8,
         vocab_size=151936, seq_len=40960, head_dim=128, shared_classifier=True,

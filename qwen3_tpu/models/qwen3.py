@@ -35,6 +35,7 @@ from jax import lax
 from qwen3_tpu.config import ModelConfig
 from qwen3_tpu.io.checkpoint import Q8Weights, load_checkpoint
 from qwen3_tpu.ops.attention import (
+    fused_batched_attention,
     gqa_attention,
     gqa_attention_per_slot,
     gqa_attention_two_segment,
@@ -479,6 +480,12 @@ def _make_fused_linear(mode: str, group_size: int):
 
     if _os.environ.get("QWEN3_TPU_FUSE", "0") != "1":
         return None
+    if mode == "pallas-int8":
+        # no fused-prologue variant of the int8-MXU kernel exists; treating
+        # it as `exact` would silently mix kernels (fused matmuls on the
+        # integer path, unfused ones on the int8-requant path) — ignore the
+        # FUSE knob so the mode measured is the mode that runs (ADVICE r4)
+        return None
     from qwen3_tpu.ops.pallas.q8_matmul import q8_matmul_fused
 
     interpret = _jax.default_backend() == "cpu"
@@ -685,7 +692,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                         attn: str = "dense", side=None,
                         axis_name: str | None = None,
                         out_vocab: int | None = None,
-                        attn_bucket: int | None = None):
+                        attn_bucket: int | None = None,
+                        scales_t=None):
     """Batched single-token decode with *per-slot* positions.
 
     tokens: [B] int32, positions: [B] int32 (each stream at its own absolute
@@ -693,6 +701,15 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     Without `side`: cache rows are updated per slot at their own position
     (B unrolled slice-updates); returns (logits [B, V], new_k, new_v).
+
+    attn="fused" (side mode only; falls back to dense without `side`): the
+    main segment runs through the in-place Pallas kernel
+    (ops.pallas.batched_decode) reading bucket-limited K/V tiles straight
+    from the stacked cache in HBM — no per-layer slab copy. Requires
+    `attn_bucket` (host-chosen, >= max positions, multiple of the kernel
+    S-tile — runtime/batched.py computes it per chunk) and, for int8 KV,
+    `scales_t` = (k_sct, v_sct) [L, B, KV, S] pre-transposed main scales
+    (loop-invariant per chunk; the chunk loop hoists the transpose).
 
     With `side=(k_side, v_side, base_pos, step)`: the main cache is READ
     ONLY (rows idx < base_pos[b]); the new K/V rows go into the chunk side
@@ -817,12 +834,15 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 # The STACKED carry + layer index go straight in: a
                 # pre-sliced cache[l] is a bucket-switch operand XLA must
                 # materialize (a full slab copy per layer per step)
+                # attn="fused" requires the side-buffer layout (the kernel
+                # reads a loop-invariant main cache); without `side` it
+                # falls back to the dense bucketed path
                 att = gqa_attention_per_slot(
                     q[:, 0], ck, cv, positions,
                     None if k_es is None else ck_sc,
                     None if k_es is None else cv_sc,
                     fast=mode in ("pallas-fast", "pallas-int8"), layer=l,
-                    static_bucket=attn_bucket)
+                    static_bucket=None if attn == "fused" else attn_bucket)
         else:
             # all B rows share the step index -> ONE uniform
             # dynamic_update_slice per buffer, no scatter, no unroll
@@ -858,6 +878,16 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 att = _flash_two_segment(
                     q[:, 0], kml, vml, ksl, vsl, base_pos, offsets,
                     kms, vms, kss, vss)
+            elif attn == "fused":
+                # in-place Pallas kernel: main-cache tiles DMA'd from the
+                # stacked array at the scalar-prefetched layer index; side
+                # slab folded in by XLA under one online softmax
+                att = fused_batched_attention(
+                    q[:, 0], k_vals, v_vals, ksl, vsl, base_pos, offsets,
+                    k_ss=kss, v_ss=vss, scales_t=scales_t, layer=l,
+                    bucket=attn_bucket,
+                    fast=mode in ("pallas-fast", "pallas-int8"),
+                    interpret=jax.default_backend() == "cpu")
             else:
                 # stacked main cache + layer index (see per_slot branch
                 # above): no materialized slab per layer

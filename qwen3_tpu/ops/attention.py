@@ -230,6 +230,68 @@ def gqa_attention_two_segment(q: jnp.ndarray, k_main: jnp.ndarray,
                      static_bucket=static_bucket)
 
 
+def fused_batched_attention(q: jnp.ndarray, k_main: jnp.ndarray,
+                            v_main: jnp.ndarray, k_side: jnp.ndarray,
+                            v_side: jnp.ndarray, base_pos: jnp.ndarray,
+                            offsets: jnp.ndarray,
+                            k_ss=None, v_ss=None, *,
+                            scales_t=None, layer, bucket: int | None,
+                            fast: bool = True,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Two-segment serving decode attention with the MAIN segment computed
+    by the in-place Pallas kernel (ops.pallas.batched_decode): K/V tiles of
+    layer `layer` stream straight from the stacked [L, B, S, KV, D] cache
+    in HBM — no per-layer slab copy, no bucket switch — and only the
+    host-chosen `bucket` rows are read. The chunk side buffer (C rows,
+    already layer-sliced) folds into the kernel's flash partials here under
+    one online softmax, so values match gqa_attention_two_segment up to
+    fp32 reduction order.
+
+    q [B, H, D]; k/v_main: STACKED [L, B, S, KV, D]; k/v_side [B, C, KV, D]
+    (layer slabs); base_pos/offsets [B] i32; k/v_ss optional [B, C, KV]
+    side scales; `scales_t` optional (k_sct, v_sct) [L, B, KV, S] f32
+    PRE-TRANSPOSED main int8 scales (loop-invariant per chunk — see
+    runtime/batched.py); `bucket` static >= max(base_pos), a multiple of
+    the kernel S-tile. Returns [B, H, D] fp32.
+    """
+    from qwen3_tpu.ops.pallas.batched_decode import batched_decode_partial
+
+    B, H, D = q.shape
+    KV = k_side.shape[2]
+    M = H // KV
+    C = k_side.shape[1]
+    inv = 1.0 / jnp.sqrt(jnp.float32(D))
+    k_sct, v_sct = scales_t if scales_t is not None else (None, None)
+
+    acc, m, l = batched_decode_partial(
+        q, k_main, v_main, layer, base_pos, k_sct, v_sct,
+        bucket=bucket, fast=fast, interpret=interpret)
+
+    dot_t = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    qf = q.astype(dot_t).reshape(B, KV, M, D)
+    ksf = _deq(k_side, k_ss, dot_t)
+    vsf = _deq(v_side, v_ss, dot_t)
+    neg = jnp.finfo(jnp.float32).min
+    scores_s = jnp.einsum(
+        "bkmd,bckd->bkmc", qf, ksf, precision=prec,
+        preferred_element_type=jnp.float32) * inv
+    mask_s = (jnp.arange(C, dtype=jnp.int32)[None, :]
+              <= offsets[:, None])                        # [B, C]
+    mask4 = mask_s[:, None, None, :]
+    scores_s = jnp.where(mask4, scores_s, neg)
+
+    m_all = jnp.maximum(m, jnp.max(scores_s, axis=-1))    # [B, KV, M]
+    alpha = jnp.exp(m - m_all)
+    p = jnp.exp(scores_s - m_all[..., None]) * mask4.astype(jnp.float32)
+    num = acc * alpha[..., None] + jnp.einsum(
+        "bkmc,bckd->bkmd", p.astype(dot_t), vsf, precision=prec,
+        preferred_element_type=jnp.float32)
+    den = l * alpha + jnp.sum(p, axis=-1)
+    return (num / den[..., None]).reshape(B, H, D)
+
+
 def gqa_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                   q_positions: jnp.ndarray, k_s=None, v_s=None,
                   fast: bool = False) -> jnp.ndarray:

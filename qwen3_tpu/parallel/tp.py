@@ -381,14 +381,25 @@ def make_tp_prefill_slots_chunk(mesh: Mesh, cfg: ModelConfig,
         bl = jax.tree.leaves(k_cache)[0].shape[1]   # local slots per shard
         my = lax.axis_index("dp") if dp > 1 else _jnp.int32(0)
         lslots = _jnp.clip(slots - my * bl, 0, bl - 1)
+        n_rows = tokens.shape[0]                    # local rows (static)
 
-        take = lambda a: _jnp.take(a, lslots, axis=1)
+        # unrolled dynamic slices / slice-updates, NOT take + .at[].set: the
+        # scatter defeats XLA's donation aliasing and double-buffers the
+        # whole donated cache (the single-device prefill_slots_chunk had the
+        # same admission OOM at B=512 — see runtime/batched.py)
+        def take(a):
+            return _jnp.concatenate(
+                [lax.dynamic_slice_in_dim(a, lslots[i], 1, axis=1)
+                 for i in range(n_rows)], axis=1)
 
         def put(full, part):
-            nd = part.ndim
-            keep = valid.reshape((1, -1) + (1,) * (nd - 2))
-            merged = _jnp.where(keep, part.astype(full.dtype), take(full))
-            return full.at[:, lslots].set(merged)
+            part = part.astype(full.dtype)
+            for i in range(n_rows):
+                row = lax.dynamic_slice_in_dim(part, i, 1, axis=1)
+                cur = lax.dynamic_slice_in_dim(full, lslots[i], 1, axis=1)
+                full = lax.dynamic_update_slice_in_dim(
+                    full, _jnp.where(valid[i], row, cur), lslots[i], axis=1)
+            return full
 
         kv_rows = jax.tree.map(take, k_cache)
         vv_rows = jax.tree.map(take, v_cache)

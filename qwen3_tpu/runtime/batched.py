@@ -108,6 +108,19 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
     B = token.shape[0]
     base_pos = pos  # frozen for the chunk (side mode)
 
+    # attn="fused" + int8 KV: the Pallas kernel consumes main-cache scales
+    # [KV, S]-transposed (lane axis = rows). The main cache is read-only for
+    # the whole chunk in side mode, so transpose ONCE here — outside the
+    # while_loop — instead of per decode step (~56 MB per transpose at the
+    # 4B flagship shape).
+    scales_t = None
+    if attn == "fused" and use_side:
+        _, k_sc_main = kvcache.split(k_cache)
+        _, v_sc_main = kvcache.split(v_cache)
+        if k_sc_main is not None:
+            scales_t = (jnp.swapaxes(k_sc_main, 2, 3),
+                        jnp.swapaxes(v_sc_main, 2, 3))
+
     def cond(c: BatchCarry):
         return (c.step < chunk) & ~jnp.all(c.done)
 
@@ -127,7 +140,7 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
                 params, cfg, c.token, k_cache, v_cache, c.pos, mode=mode,
                 attn=attn, side=(c.k_cache, c.v_cache, base_pos, c.step),
                 axis_name=axis_name, out_vocab=out_vocab,
-                attn_bucket=bucket)
+                attn_bucket=bucket, scales_t=scales_t)
         else:
             # done slots still flow through the batched forward (their rows
             # are wasted work but keep shapes static); clamp their write
@@ -253,11 +266,32 @@ def prefill_slots_chunk_impl(params, k_cache, v_cache, tokens, slots,
     tokens: [N, C] i32 padded blocks; slots: [N] i32; start_pos: i32 scalar
     (batched admission serves fresh start_pos=0 requests — chat
     continuations go through the serial path); last_pos: [N] i32 per-row
-    last valid index within the chunk. Returns (logits [N, V], k, v)."""
+    last valid index within the chunk. Returns (logits [N, V], k, v).
+
+    The slot gather/scatter is N unrolled dynamic slices / slice-updates,
+    NOT jnp.take + .at[:, slots].set: the scatter form defeats XLA's
+    donation aliasing of the cache, so the whole donated KV cache
+    double-buffers across the masked writes — at B=512 that 4.8 GB copy
+    pushed admission ~0.4 GB past the 16 GB chip while decode fit fine
+    (round-4 PROFILE boundary note). The slice-update chain aliases in
+    place, exactly like the serial prefill_slot_chunk path."""
     from qwen3_tpu.models.qwen3 import forward_impl
 
-    take = lambda a: jnp.take(a, slots, axis=1)
-    put = lambda full, part: full.at[:, slots].set(part.astype(full.dtype))
+    N = tokens.shape[0]
+
+    def take(a):
+        return jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(a, slots[i], 1, axis=1)
+             for i in range(N)], axis=1)
+
+    def put(full, part):
+        part = part.astype(full.dtype)
+        for i in range(N):
+            row = jax.lax.dynamic_slice_in_dim(part, i, 1, axis=1)
+            full = jax.lax.dynamic_update_slice_in_dim(
+                full, row, slots[i], axis=1)
+        return full
+
     kv_rows = jax.tree.map(take, k_cache)
     vv_rows = jax.tree.map(take, v_cache)
     logits, kr, vr = forward_impl(params, cfg, tokens, kv_rows, vv_rows,
@@ -380,13 +414,17 @@ class BatchedEngine:
         self.mode = mode
         if attn == "auto":
             # chip-measured (4B, int8 KV, side-buffer, round 3): dense wins
-            # batched decode at EVERY depth — B=64/seq 512 by ~1.7x, and at
-            # full long-context depth B=8@8k 139.6 vs 130.3 tok/s, B=4@16k
-            # 70.3 vs 66.0, B=2@32k 34.6 vs 33.0 (flash two-segment's
-            # per-(slot, tile) grid overhead eats its traffic advantage once
-            # the dense path's bucketed reads amortize over slots). Flash
-            # only pays off single-stream: 1.8x at depth 8k, 1.4x at 16k —
-            # mirror Engine's policy for the overlapping max_batch=1 case.
+            # batched decode over flash at EVERY depth — B=64/seq 512 by
+            # ~1.7x, and at full long-context depth B=8@8k 139.6 vs 130.3
+            # tok/s, B=4@16k 70.3 vs 66.0, B=2@32k 34.6 vs 33.0 (flash
+            # two-segment's per-(slot, tile) grid overhead eats its traffic
+            # advantage once the dense path's bucketed reads amortize over
+            # slots). Flash only pays off single-stream: 1.8x at depth 8k,
+            # 1.4x at 16k — mirror Engine's policy for max_batch=1.
+            # attn="fused" (the in-place batched-decode Pallas kernel,
+            # side-buffer only) is the candidate replacement — it
+            # eliminates the per-layer slab copy and streams bucket tiles
+            # at DMA rate; it becomes the default once chip-measured.
             attn = ("flash" if max_batch == 1 and seq_len >= 8192
                     else "dense")
         self.attn = attn
@@ -451,10 +489,15 @@ class BatchedEngine:
         # PROFILE.md. Kept as an env-gated probe path.
         self._pos_host = np.zeros((B,), np.int64)
         self._attn_buckets = None
-        if (self.attn == "dense"
-                and os.environ.get("QWEN3_TPU_STATIC_BUCKET") == "1"):
+        if (self.attn == "fused"
+                or (self.attn == "dense"
+                    and os.environ.get("QWEN3_TPU_STATIC_BUCKET") == "1")):
             from qwen3_tpu.ops.attention import _bucket_sizes
 
+            # fused: the host ALWAYS picks the attention bucket (the Pallas
+            # kernel's grid is sized to it — no in-program switch at all);
+            # cache_rows is a 256 multiple (pad_rows quantum above), so
+            # every bucket divides into the kernel's 256-row S-tiles
             self._attn_buckets = _bucket_sizes(cache_rows)
         self._limit = np.zeros((B,), np.int32)
         self._done = jnp.ones((B,), jnp.bool_)

@@ -35,10 +35,12 @@ def pad_rows(rows: int, quantum: int = 256) -> int:
     (< 256) rows are written past every stream's limit and masked out of
     every attention read, so semantics are unchanged.
 
-    Engines whose attention is pinned DENSE pass quantum=8 (sublane
-    alignment only): the flash quantum padded the B=64 serving cache
-    544 -> 768 rows, inflating the per-layer slab extraction — the #3 term
-    of the serving step (PROFILE.md) — by 41% for rows nothing reads."""
+    Engines whose attention is pinned DENSE pass quantum=128 (lane
+    alignment for the final attention bucket — a 224-row cache measured
+    ~10% slower than 256 at B=256): the flash quantum would pad the B=64
+    serving cache 544 -> 768 rows, inflating the per-layer slab extraction
+    — the #3 term of the serving step (PROFILE.md) — by 41% for rows
+    nothing reads."""
     return -(-rows // quantum) * quantum
 
 

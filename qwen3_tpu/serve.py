@@ -40,12 +40,15 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompts", default="-",
                     help="file with one prompt per line ('-' = stdin)")
-    ap.add_argument("--qmode", default="bf16",
-                    choices=["exact", "bf16", "pallas", "pallas-fast"])
-    ap.add_argument("--kv-dtype", default="float32",
+    # defaults are the measured serving configuration (README/PROFILE.md):
+    # every batched benchmark runs pallas-fast + int8 KV
+    ap.add_argument("--qmode", default="pallas-fast",
+                    choices=["exact", "bf16", "pallas", "pallas-fast",
+                             "pallas-int8"])
+    ap.add_argument("--kv-dtype", default="int8",
                     choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--attn", default="auto",
-                    choices=["auto", "dense", "flash"])
+                    choices=["auto", "dense", "flash", "fused"])
     ap.add_argument("--no-side-buffer", dest="side_buffer",
                     action="store_false", default=True)
     ap.add_argument("--prefill-bucket", type=int, default=128)
