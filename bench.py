@@ -28,7 +28,7 @@ serving headline), BENCH_BUDGET_S (480), BENCH_FROM_CKPT=1 (load the real
 pack instead of device-synth), BENCH_RUN_BASELINE=1 (re-measure the C
 engine even if uncached), BENCH_SKIP_BATCHED / BENCH_SKIP_PREFILL /
 BENCH_SKIP_LONGCTX / BENCH_SKIP_SCALING =1, BENCH_SCALING (batch-scaling
-sweep points, default "256@192,512@128" as B@rows; runs only when
+sweep points, default "256@192,512@96" as B@rows; runs only when
 BENCH_BATCH is unset), BENCH_LONGCTX (depths, default 8192,16384,32768),
 BENCH_LONGCTX_ATTN (flash), BENCH_LONGCTX_KV (int8), BENCH_LONGCTX_CTX
 (32768 — cache rows for the dedicated long-context stage).
@@ -298,7 +298,9 @@ def measure_batched(cfg, params, batch: int | None = None,
         kv_dtype=os.environ.get("BENCH_BATCH_KV", "int8"),
         prefill_bucket=64,
         decode_chunk=int(os.environ.get("BENCH_BATCH_CHUNK", "32")),
-        attn=os.environ.get("BENCH_ATTN", "dense"),
+        # auto resolves to the fused in-place Pallas decode attention
+        # (round 5; +38.6% over dense at B=64, tools/ab_fused_attn.py)
+        attn=os.environ.get("BENCH_BATCH_ATTN", "auto"),
         side_buffer=os.environ.get("BENCH_SIDE", "1") == "1",
         model_cfg=cfg, params=params, aot_dir=str(CACHE / "exec"))
     assert tok_path is not None
@@ -589,7 +591,7 @@ def main() -> None:
                 and os.environ.get("BENCH_BATCH") is None):
             points = [tuple(int(x) for x in p.split("@"))
                       for p in os.environ.get(
-                          "BENCH_SCALING", "256@192,512@128").split(",")]
+                          "BENCH_SCALING", "256@192,512@96").split(",")]
             scaling = {"64@512": result.get("batched_tok_s")}
             for b, s in points:
                 if remaining() < 90:

@@ -708,8 +708,8 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     from the stacked cache in HBM — no per-layer slab copy. Requires
     `attn_bucket` (host-chosen, >= max positions, multiple of the kernel
     S-tile — runtime/batched.py computes it per chunk) and, for int8 KV,
-    `scales_t` = (k_sct, v_sct) [L, B, KV, S] pre-transposed main scales
-    (loop-invariant per chunk; the chunk loop hoists the transpose).
+    `scales_t` = (k_sf, v_sf) [L, B, S*KV] FLATTENED main scales
+    (loop-invariant per chunk; the chunk loop hoists the flatten).
 
     With `side=(k_side, v_side, base_pos, step)`: the main cache is READ
     ONLY (rows idx < base_pos[b]); the new K/V rows go into the chunk side
@@ -884,7 +884,7 @@ def decode_forward_impl(p: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                 # slab folded in by XLA under one online softmax
                 att = fused_batched_attention(
                     q[:, 0], k_vals, v_vals, ksl, vsl, base_pos, offsets,
-                    k_ss=kss, v_ss=vss, scales_t=scales_t, layer=l,
+                    k_ss=kss, v_ss=vss, scales_flat=scales_t, layer=l,
                     bucket=attn_bucket,
                     fast=mode in ("pallas-fast", "pallas-int8"),
                     interpret=jax.default_backend() == "cpu")

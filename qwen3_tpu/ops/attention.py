@@ -235,7 +235,7 @@ def fused_batched_attention(q: jnp.ndarray, k_main: jnp.ndarray,
                             v_side: jnp.ndarray, base_pos: jnp.ndarray,
                             offsets: jnp.ndarray,
                             k_ss=None, v_ss=None, *,
-                            scales_t=None, layer, bucket: int | None,
+                            scales_flat=None, layer, bucket: int | None,
                             fast: bool = True,
                             interpret: bool = False) -> jnp.ndarray:
     """Two-segment serving decode attention with the MAIN segment computed
@@ -249,8 +249,8 @@ def fused_batched_attention(q: jnp.ndarray, k_main: jnp.ndarray,
 
     q [B, H, D]; k/v_main: STACKED [L, B, S, KV, D]; k/v_side [B, C, KV, D]
     (layer slabs); base_pos/offsets [B] i32; k/v_ss optional [B, C, KV]
-    side scales; `scales_t` optional (k_sct, v_sct) [L, B, KV, S] f32
-    PRE-TRANSPOSED main int8 scales (loop-invariant per chunk — see
+    side scales; `scales_flat` optional (k_sf, v_sf) [L, B, S*KV] f32
+    FLATTENED main int8 scales (loop-invariant per chunk — see
     runtime/batched.py); `bucket` static >= max(base_pos), a multiple of
     the kernel S-tile. Returns [B, H, D] fp32.
     """
@@ -261,10 +261,10 @@ def fused_batched_attention(q: jnp.ndarray, k_main: jnp.ndarray,
     M = H // KV
     C = k_side.shape[1]
     inv = 1.0 / jnp.sqrt(jnp.float32(D))
-    k_sct, v_sct = scales_t if scales_t is not None else (None, None)
+    k_sf, v_sf = scales_flat if scales_flat is not None else (None, None)
 
     acc, m, l = batched_decode_partial(
-        q, k_main, v_main, layer, base_pos, k_sct, v_sct,
+        q, k_main, v_main, layer, base_pos, k_sf, v_sf,
         bucket=bucket, fast=fast, interpret=interpret)
 
     dot_t = jnp.bfloat16 if fast else jnp.float32

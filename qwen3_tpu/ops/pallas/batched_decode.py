@@ -5,31 +5,33 @@ einsum whose K/V operand was `cache[l]` extracted per layer — a bucket-switch
 operand XLA materializes as a full contiguous slab copy (5.7 ms of the
 21.5 ms B=64 step, 27%, PROFILE.md round 4) — with the dots themselves
 consuming the slab at only ~210 GB/s. This kernel removes both terms: it
-DMAs K/V tiles of layer `l` directly from the stacked [L, B, S, KV*D] HBM
+DMAs K/V tiles of layer `l` directly from the stacked [L, B, S, KV, D] HBM
 array via a scalar-prefetched layer index (only the host-chosen bucket's
 rows), overlapping tile fetch with the batched dots — no slab copy exists.
 
-Dot structure — why this is NOT the per-slot flash grid (which loses at
-these shapes: 64 slots x tiles x 36 layers of [4, 128] dots hit a ~0.5 us
-per-dot launch floor, PROFILE.md): per slot, the GQA score dots
-[M, D] x [D, ts] for all KV heads are embedded block-diagonally into ONE
-MXU contraction
+Dot structure — the "expanded-column" GQA formulation. Per slot, the tile
+[ts, KV, D] is viewed as k2 [ts*KV, D] (a sublane-merge reshape, free on
+TPU — unlike a lane-level flatten, which round 5 measured at 11.7 ms/step
+as in-kernel VPU copies and 13.5 ms/step as an XLA reshape of the cache).
+ONE MXU pass computes every (query row, kv head) score:
 
-  scores[kv*M + m, s] = sum_{kv', d} q_bd[kv*M+m, kv'*D+d] * k[s, kv'*D+d]
+  scores_full[r, s*KV + kv'] = sum_d q[r, d] * k[s, kv', d]
 
-with q_bd zero off-block, so the K tile is consumed in its NATIVE
-[ts, KV*D] row layout — no transpose, no reshape, no per-head slicing.
-The KV-fold FLOP inflation is irrelevant (the MXU is idle in decode);
-what matters is that the tile streams at DMA rate. The value pass runs
-the same trick in reverse: probs [R, ts] x v [ts, KV*D] produces every
-(row, kv') block; off-diagonal garbage is masked and folded by
-lane-aligned static slices (rows of v feed the MXU in native layout too).
+and a broadcasted-iota column mask keeps only kv' == r // M (each query
+row's own kv head) with s < row_limit. The online softmax runs over the
+masked expanded axis (masked columns contribute exact zeros), and the
+value pass needs NO un-expansion: p [R, ts*KV] @ v2 [ts*KV, D] contracts
+the expanded axis directly into [R, D]. The KV-fold FLOP inflation is
+irrelevant (the MXU is idle in decode); what matters is that tiles stream
+at DMA rate. This is NOT the per-slot flash grid (which loses at these
+shapes: 64 slots x tiles x 36 layers of [4, 128] dots hit a ~0.5 us
+per-dot floor, PROFILE.md): one grid step serves `bb` slots with 2 large
+dots each.
 
-int8 KV is handled WITHOUT dequantizing the tiles: int8->bf16 conversion
-is exact, K scales multiply the SCORES (scale[s, kv] is constant over d),
-and V scales fold into the probs before the value dot — both via a
-[KV, S]-transposed scale operand the serving loop pre-transposes ONCE per
-chunk (loop-invariant; runtime/batched.py).
+int8 KV needs no tile dequant multiply: int8->bf16 conversion is exact,
+K scales multiply the SCORES (scale is constant over d) and V scales fold
+into the probs — both via flat [L, B, S*KV] scale operands the serving
+loop reshapes ONCE per chunk (loop-invariant; runtime/batched.py).
 
 The kernel returns UNNORMALIZED flash-style partials (acc, m, l) for the
 main segment; the chunk side buffer (C ~ 32 rows) is folded in afterwards
@@ -61,7 +63,7 @@ def _kernel(layer_ref, limit_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             fast: bool):
     ib, isx = pl.program_id(0), pl.program_id(1)
     R = n_kv * m_per
-    KVD = n_kv * d
+    E = ts * n_kv                         # expanded column count
     dot_t = jnp.bfloat16 if fast else jnp.float32
     prec = (lax.Precision.DEFAULT if fast else lax.Precision.HIGHEST)
     inv = 1.0 / (d ** 0.5)
@@ -73,49 +75,37 @@ def _kernel(layer_ref, limit_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
 
     base = isx * ts
-    # block-diagonal q embedding / value-diagonal selection mask:
-    # row r belongs to kv head r // M; column block kv' = col // D
-    rowkv = lax.broadcasted_iota(jnp.int32, (R, KVD), 0) // m_per
-    colkv = lax.broadcasted_iota(jnp.int32, (R, KVD), 1) // d
-    qmask = rowkv == colkv
-    span = lax.broadcasted_iota(jnp.int32, (1, ts), 1) + base
+    # expanded column c = s*KV + kv'; query row r owns kv head r // M
+    rowkv = lax.broadcasted_iota(jnp.int32, (R, E), 0) // m_per
+    col = lax.broadcasted_iota(jnp.int32, (R, E), 1)
+    colkv = col % n_kv
+    cols = col // n_kv + base             # absolute cache row of column c
+    head_ok = colkv == rowkv              # limit-independent part
 
     for b in range(bb):
         limit = limit_ref[ib * bb + b]
-        kt = k_ref[0, b].astype(dot_t)                    # [ts, KVD]
-        qr = q_ref[b].astype(dot_t)                       # [R, D]
-        qbd = jnp.where(qmask, jnp.concatenate([qr] * n_kv, axis=1),
-                        jnp.zeros((), dot_t))             # [R, KVD]
+        k2 = k_ref[0, b].astype(dot_t).reshape(E, d)   # sublane merge: free
+        v2 = v_ref[0, b].astype(dot_t).reshape(E, d)
+        qr = q_ref[b].astype(dot_t)                    # [R, D]
         scores = lax.dot_general(
-            qbd, kt, (((1,), (1,)), ((), ())),
+            qr, k2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec) * inv
         if ks_ref is not None:
-            kst = ks_ref[0, b]                            # [KV, ts] f32
-            fac = jnp.broadcast_to(
-                kst[:, None, :], (n_kv, m_per, ts)).reshape(R, ts)
-            scores = scores * fac
-        mask = span < limit                               # [1, ts]
+            scores = scores * ks_ref[0, b:b + 1, :]    # [1, E] broadcast
+        mask = head_ok & (cols < limit)                # [R, E]
         scores = jnp.where(mask, scores, _NEG_INF)
 
-        m_prev = m_ref[b, :, :1]                          # [R, 1]
+        m_prev = m_ref[b, :, :1]                       # [R, 1]
         l_prev = l_ref[b, :, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new) * mask.astype(jnp.float32)  # [R, ts]
-        if vs_ref is not None:
-            vst = vs_ref[0, b]
-            vfac = jnp.broadcast_to(
-                vst[:, None, :], (n_kv, m_per, ts)).reshape(R, ts)
-            pv_in = (p * vfac).astype(dot_t)
-        else:
-            pv_in = p.astype(dot_t)
-        full = lax.dot_general(
-            pv_in, v_ref[0, b].astype(dot_t), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)  # [R, KVD]
-        fullm = jnp.where(qmask, full, 0.0)
-        contrib = fullm[:, 0:d]
-        for k2 in range(1, n_kv):
-            contrib = contrib + fullm[:, k2 * d:(k2 + 1) * d]
+        p = jnp.exp(scores - m_new) * mask.astype(jnp.float32)  # [R, E]
+        # V scales fold into the value-dot operand only — the softmax
+        # denominator `l` sums the UNscaled probabilities
+        pv = p if vs_ref is None else p * vs_ref[0, b:b + 1, :]
+        contrib = lax.dot_general(
+            pv.astype(dot_t), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # [R, D]
         acc_ref[b] = acc_ref[b] * alpha + contrib
         l_ref[b] = jnp.broadcast_to(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True),
@@ -145,20 +135,22 @@ def _pick_bb(B: int, ts: int, kvd: int, esize: int) -> int:
     static_argnames=("bucket", "fast", "block_s", "interpret"))
 def batched_decode_partial(q: jnp.ndarray, k_stk: jnp.ndarray,
                            v_stk: jnp.ndarray, layer, row_limit: jnp.ndarray,
-                           k_sct=None, v_sct=None, *, bucket: int | None,
+                           k_sflat=None, v_sflat=None, *, bucket: int | None,
                            fast: bool = True, block_s: int = 256,
                            interpret: bool = False):
     """Flash-style PARTIALS of batched decode attention over the main cache.
 
-    q         [B, H, D] (query heads in head order — row r is query head r,
-              kv head r // M, so q IS the block-diagonal row layout)
-    k/v_stk   [L, B, S, KV, D] int8/bf16/f32 (the full stacked cache)
-    layer     traced i32 — which layer's slab to read (scalar-prefetched)
-    row_limit [B] i32 — slot b attends cache rows idx < row_limit[b]
-    k/v_sct   optional [L, B, KV, S] f32 int8 scales, PRE-TRANSPOSED
-              (loop-invariant per serving chunk; see runtime/batched.py)
-    bucket    static: rows to read (must be >= max(row_limit) and a
-              multiple of the S-tile; None = full S)
+    q          [B, H, D] (query heads in head order — row r is query head r,
+               kv head r // M)
+    k/v_stk    [L, B, S, KV, D] int8/bf16/f32 (the full stacked cache)
+    layer      traced i32 — which layer's slab to read (scalar-prefetched)
+    row_limit  [B] i32 — slot b attends cache rows idx < row_limit[b]
+    k/v_sflat  optional [L, B, S*KV] f32 int8 scales, FLATTENED so scale of
+               expanded column s*KV+kv sits at flat index s*KV+kv
+               (= the natural [S, KV] reshape; loop-invariant per serving
+               chunk — see runtime/batched.py)
+    bucket     static: rows to read (must be >= max(row_limit) and a
+               multiple of the S-tile; None = full S)
 
     Returns (acc [B, KV, M, D] f32 unnormalized, m [B, KV, M],
     l [B, KV, M]): softmax-combine with other segments outside, or
@@ -177,26 +169,22 @@ def batched_decode_partial(q: jnp.ndarray, k_stk: jnp.ndarray,
     bb = _pick_bb(B, ts, KVD, k_stk.dtype.itemsize)
     n_b = B // bb
 
-    # free metadata reshape: [ts, KV, D] rows are contiguous [ts, KV*D]
-    kr = k_stk.reshape(L, B, S, KVD)
-    vr = v_stk.reshape(L, B, S, KVD)
-
-    kmap = lambda ib, isx, lr, _: (lr[0], ib, isx, 0)
-    smap = lambda ib, isx, lr, _: (lr[0], ib, 0, isx)
+    kmap = lambda ib, isx, lr, _: (lr[0], ib, isx, 0, 0)
+    smap = lambda ib, isx, lr, _: (lr[0], ib, isx)
     qmap = lambda ib, isx, *_: (ib, 0, 0)
 
     in_specs = [
         pl.BlockSpec((bb, R, D), qmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bb, ts, KVD), kmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bb, ts, KVD), kmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, ts, KV, D), kmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, ts, KV, D), kmap, memory_space=pltpu.VMEM),
     ]
-    args = [q.astype(jnp.float32), kr, vr]
-    if k_sct is not None:
+    args = [q.astype(jnp.float32), k_stk, v_stk]
+    if k_sflat is not None:
         in_specs += [
-            pl.BlockSpec((1, bb, KV, ts), smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, KV, ts), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, ts * KV), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, ts * KV), smap, memory_space=pltpu.VMEM),
         ]
-        args += [k_sct, v_sct]
+        args += [k_sflat, v_sflat]
         kernel = functools.partial(_kernel, bb=bb, ts=ts, n_s=n_s, n_kv=KV,
                                    m_per=M, d=D, fast=fast)
     else:

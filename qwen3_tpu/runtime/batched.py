@@ -109,17 +109,18 @@ def batched_decode_chunk_impl(params, k_cache, v_cache, token, pos, limit,
     base_pos = pos  # frozen for the chunk (side mode)
 
     # attn="fused" + int8 KV: the Pallas kernel consumes main-cache scales
-    # [KV, S]-transposed (lane axis = rows). The main cache is read-only for
-    # the whole chunk in side mode, so transpose ONCE here — outside the
-    # while_loop — instead of per decode step (~56 MB per transpose at the
-    # 4B flagship shape).
+    # flattened [L, B, S*KV] (scale of expanded column s*KV+kv at flat
+    # index s*KV+kv). The main cache is read-only for the whole chunk in
+    # side mode, so flatten ONCE here — outside the while_loop — instead
+    # of per decode step (~34 MB per pass at the 4B flagship shape).
     scales_t = None
     if attn == "fused" and use_side:
         _, k_sc_main = kvcache.split(k_cache)
         _, v_sc_main = kvcache.split(v_cache)
         if k_sc_main is not None:
-            scales_t = (jnp.swapaxes(k_sc_main, 2, 3),
-                        jnp.swapaxes(v_sc_main, 2, 3))
+            Lk, Bk, Sk, KVk = k_sc_main.shape
+            scales_t = (k_sc_main.reshape(Lk, Bk, Sk * KVk),
+                        v_sc_main.reshape(Lk, Bk, Sk * KVk))
 
     def cond(c: BatchCarry):
         return (c.step < chunk) & ~jnp.all(c.done)
@@ -421,11 +422,16 @@ class BatchedEngine:
             # advantage once the dense path's bucketed reads amortize over
             # slots). Flash only pays off single-stream: 1.8x at depth 8k,
             # 1.4x at 16k — mirror Engine's policy for max_batch=1.
-            # attn="fused" (the in-place batched-decode Pallas kernel,
-            # side-buffer only) is the candidate replacement — it
-            # eliminates the per-layer slab copy and streams bucket tiles
-            # at DMA rate; it becomes the default once chip-measured.
+            # Round 5: attn="fused" (the in-place batched-decode Pallas
+            # kernel, side-buffer only) replaces dense as the serving
+            # default — chip-measured interleaved A/B at B=64/seq 512/int8
+            # KV: fused 3313.0 vs dense 2390.3 tok/s best-of-4 (+38.6%,
+            # tools/ab_fused_attn.py): it eliminates the per-layer slab
+            # copy AND streams bucket tiles at DMA rate instead of the
+            # dense dots' ~210 GB/s.
             attn = ("flash" if max_batch == 1 and seq_len >= 8192
+                    else "fused" if (side_buffer
+                                     and mode.startswith("pallas"))
                     else "dense")
         self.attn = attn
         self.side_buffer = side_buffer
@@ -448,9 +454,12 @@ class BatchedEngine:
         # measured 10% slower than 256 at B=256 — but the flash quantum's
         # extra rows (544 -> 768 at the B=64 flagship) are pure slab-copy
         # waste.
+        # dense needs only lane alignment; fused buckets are 128-multiples
+        # (the kernel picks a 128-row S-tile when 256 doesn't divide);
+        # flash keeps the 256 tile quantum (ops/pallas/flash_decode.py)
         cache_rows = kvcache.pad_rows(
             self.cfg.seq_len + (decode_chunk if side_buffer else 0),
-            quantum=128 if self.attn == "dense" else 256)
+            quantum=128 if self.attn in ("dense", "fused") else 256)
         if self._mesh is not None:
             from qwen3_tpu.parallel.tp import init_sharded_kv
 

@@ -59,7 +59,7 @@ def test_partial_matches_dense_per_slot(int8, bucket):
     layer = jnp.int32(1)
     sct = (None, None)
     if int8:
-        sct = (jnp.swapaxes(ks, 2, 3), jnp.swapaxes(vs, 2, 3))
+        sct = (ks.reshape(*ks.shape[:2], -1), vs.reshape(*vs.shape[:2], -1))
     acc, m, l = batched_decode_partial(
         q, k, v, layer, limit, sct[0], sct[1], bucket=bucket, fast=False,
         interpret=True)
@@ -81,10 +81,10 @@ def test_fused_two_segment_matches_dense(int8, fast):
     (q, k, v, ks, vs, sk, sv, sks, svs, base, off) = _mk(int8=int8, seed=3)
     sct = None
     if int8:
-        sct = (jnp.swapaxes(ks, 2, 3), jnp.swapaxes(vs, 2, 3))
+        sct = (ks.reshape(*ks.shape[:2], -1), vs.reshape(*vs.shape[:2], -1))
     got = fused_batched_attention(
         q, k, v, sk[...], sv[...], base, off, k_ss=sks, v_ss=svs,
-        scales_t=sct, layer=2, bucket=None, fast=fast, interpret=True)
+        scales_flat=sct, layer=2, bucket=None, fast=fast, interpret=True)
     want = gqa_attention_two_segment(
         q, k, v, sk, sv, base, off,
         k_ms=ks, v_ms=vs, k_ss=sks, v_ss=svs, fast=fast, layer=2)
