@@ -67,6 +67,73 @@ def pure_read_stacked(w_qt, layer, block_k=512):
     )(lidx, w_qt)
 
 
+def pure_read_manual(w_qt, layer, n_buf: int, block_k=512):
+    """Manual n_buf-deep DMA pipeline over the same per-layer tiles
+    (VERDICT r4 #7: is the last ~10% to the HBM roofline recoverable with
+    a deeper pipeline than Pallas's automatic double buffering?). The body
+    streams every [tk, td] chunk of layer `layer` through a rotating
+    n_buf-slot VMEM scratch with explicit async copies; compute is the
+    same trivial 8-row sum as pure_read_stacked."""
+    L, j, n, td = w_qt.shape
+    tk = _pick_tile(n, 512, block_k)
+    nk = n // tk
+    n_chunks = j * nk
+
+    def kern(l_ref, w_hbm, out_ref):
+        l = l_ref[0]
+
+        def body(scratch, sems):
+            def dma(slot, idx):
+                jj = idx // nk
+                kk = idx % nk
+                return pltpu.make_async_copy(
+                    w_hbm.at[l, jj, pl.ds(kk * tk, tk), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                )
+
+            def start(slot, idx):
+                dma(slot, idx).start()
+
+            for i in range(n_buf):
+                start(i, i)
+
+            def loop(idx, acc):
+                slot = idx % n_buf
+                dma(slot, idx).wait()
+                acc = acc + jnp.sum(
+                    scratch[slot, :8, :].astype(jnp.int32), axis=0,
+                    keepdims=True)
+
+                @pl.when(idx + n_buf < n_chunks)
+                def _():
+                    start(slot, idx + n_buf)
+
+                return acc
+
+            out_ref[:] = jax.lax.fori_loop(
+                0, n_chunks, loop, jnp.zeros((8, td), jnp.int32))
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((n_buf, tk, td), jnp.int8),
+            sems=pltpu.SemaphoreType.DMA((n_buf,)),
+        )
+
+    lidx = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((8, td), lambda i, lr: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, td), jnp.int32),
+    )(lidx, w_qt)
+
+
 def main() -> int:
     cfg = PRESETS["qwen3-4b"].with_seq_len(512)
     params = synth_device_params(cfg, 512, seed=0,
@@ -95,9 +162,22 @@ def main() -> int:
             return acc + out[0, :8]
         return jax.lax.fori_loop(0, N_ITERS, body, jnp.zeros((8,), jnp.int32))
 
+    def mk_manual(n_buf):
+        @jax.jit
+        def manual_loop(w_qt):
+            def body(i, acc):
+                out = pure_read_manual(w_qt, i % L, n_buf)
+                return acc + out[0, :8]
+            return jax.lax.fori_loop(0, N_ITERS, body,
+                                     jnp.zeros((8,), jnp.int32))
+        return manual_loop
+
     for label, fn, args in (("q8q8 stacked matmul", mm_loop,
                              (xq, xs, w_qt, w_st)),
-                            ("pure-read same walk", read_loop, (w_qt,))):
+                            ("pure-read same walk", read_loop, (w_qt,)),
+                            ("manual DMA 2-buffer", mk_manual(2), (w_qt,)),
+                            ("manual DMA 3-buffer", mk_manual(3), (w_qt,)),
+                            ("manual DMA 4-buffer", mk_manual(4), (w_qt,))):
         out = fn(*args)
         _ = np.asarray(out)           # compile + warm
         t0 = time.perf_counter()
