@@ -12,11 +12,21 @@ teacher-forced, fp32.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qwen3_tpu.models import forward, init_kv_cache
+from qwen3_tpu.models import init_kv_cache
+from qwen3_tpu.models.qwen3 import forward_impl
+
+# DONATED cache args: the undonated jit double-buffers the KV cache per
+# chunk, which pushed the 4B exact-mode (fp32 KV) evaluation at ctx 16384
+# past the 16 GB chip (2 x 4.8 GB cache copies beside the weights)
+_forward_d = functools.partial(
+    jax.jit, static_argnames=("cfg", "mode", "all_logits", "attn"),
+    donate_argnames=("k_cache", "v_cache"))(forward_impl)
 
 
 def sequence_nll(params, cfg, tokens: list[int], *, mode: str = "bf16",
@@ -33,8 +43,8 @@ def sequence_nll(params, cfg, tokens: list[int], *, mode: str = "bf16",
     for off in range(0, n - 1, chunk):
         t = min(chunk, n - off)          # includes the next-token targets
         block = toks[:, off:off + t]
-        logits, k, v = forward(params, cfg, block, k, v, jnp.int32(off),
-                               mode=mode, all_logits=True)
+        logits, k, v = _forward_d(params, cfg, block, k, v, jnp.int32(off),
+                                  mode=mode, all_logits=True)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # target for position off+i is tokens[off+i+1]
         upto = min(t, n - 1 - off)

@@ -35,6 +35,10 @@ def main() -> int:
         return 1
     cmd = [sys.executable, "-m", "qwen3_tpu.tools.quality_table", str(ckpt),
            "-c", str(args.ctx), "--modes", args.modes]
+    if args.ctx >= 16384:
+        # halve the dense-attention score temps ([1, chunk, H, ctx] fp32)
+        # so the exact-mode fp32-KV evaluation fits beside the weights
+        cmd += ["--chunk", "128"]
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR=str(REPO / ".cache" / "jaxcache"))
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
